@@ -1,0 +1,128 @@
+"""HBM-resident sparse adjacency as a JAX pytree.
+
+The reference represents graphs as COO edge lists that are densified to an
+N x N matrix *three times per GCN layer call* (reference: src/graph.cpp:172,
+177, 207) — O(N^2) memory, which caps it at toy graphs. Here the adjacency is
+a static-shape CSR/COO hybrid that lives in HBM and feeds SpMM kernels
+directly:
+
+* ``src``/``dst``: COO endpoints, **sorted by dst** (stable in src) so that
+  scatter-adds by destination are sorted-segment reductions;
+* ``row_ptr``: CSR offsets over destinations (row i's in-edges are
+  ``[row_ptr[i], row_ptr[i+1])``) for row-chunked Pallas kernels;
+* ``weight``: optional per-edge value (e.g. the exact GCN symmetric norm
+  d_i^-1/2 d_j^-1/2 — computed once at prep, replacing the reference's
+  post-aggregation approximation at src/graph.cpp:178-185);
+* ``t_perm``/``t_row_ptr``: the src-sorted permutation + its CSR offsets, so
+  the *transpose* SpMM needed by the backward pass is also a sorted-segment
+  reduction (no unsorted scatter anywhere in fwd or bwd).
+
+Node/edge counts are static metadata: shapes stay fixed under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tpu.nn.module import Module, static_field
+
+__all__ = ["Adjacency", "build_adjacency"]
+
+
+class Adjacency(Module):
+    src: jax.Array  # [E] int32, edge source nodes (dst-sorted order)
+    dst: jax.Array  # [E] int32, ascending
+    row_ptr: jax.Array  # [N_dst + 1] int32
+    weight: Optional[jax.Array]  # [E] float or None (= all ones)
+    t_perm: jax.Array  # [E] int32: dst-sorted order -> src-sorted order
+    t_row_ptr: jax.Array  # [N_src + 1] int32 (CSR over sources)
+    num_src_nodes: int = static_field(default=0)
+    num_dst_nodes: int = static_field(default=0)
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    def with_weight(self, weight: Optional[jax.Array]) -> "Adjacency":
+        return self.replace(weight=weight)
+
+    def transpose(self) -> "Adjacency":
+        """A^T as an Adjacency (edges re-sorted by the old src)."""
+        inv = jnp.argsort(self.t_perm)
+        return Adjacency(
+            src=self.dst[self.t_perm],
+            dst=self.src[self.t_perm],
+            row_ptr=self.t_row_ptr,
+            weight=None if self.weight is None else self.weight[self.t_perm],
+            t_perm=inv,
+            t_row_ptr=self.row_ptr,
+            num_src_nodes=self.num_dst_nodes,
+            num_dst_nodes=self.num_src_nodes,
+        )
+
+    @property
+    def edge_index(self) -> jax.Array:
+        """COO [2, E] view (row 0 = src, row 1 = dst), dst-sorted."""
+        return jnp.stack([self.src, self.dst])
+
+
+def build_adjacency(
+    edge_index,
+    edge_weight=None,
+    *,
+    num_nodes: Optional[int] = None,
+    num_src_nodes: Optional[int] = None,
+    num_dst_nodes: Optional[int] = None,
+) -> Adjacency:
+    """Prepare an :class:`Adjacency` from a COO edge list [2, E].
+
+    Host-side, one-time preprocessing (numpy): sorts edges by destination,
+    builds both CSR offset arrays and the transpose permutation. The
+    equivalent of the reference's ``edge_to_adj_mat`` densification
+    (src/graph.cpp:21-44) — except O(E), not O(N^2).
+    """
+    ei = np.asarray(edge_index)
+    if ei.ndim != 2 or ei.shape[0] != 2:
+        raise ValueError(f"edge_index must be [2, E], got {ei.shape}")
+    src, dst = ei[0].astype(np.int64), ei[1].astype(np.int64)
+    if num_nodes is not None:
+        num_src_nodes = num_dst_nodes = num_nodes
+    if num_src_nodes is None:
+        num_src_nodes = int(src.max()) + 1 if src.size else 0
+    if num_dst_nodes is None:
+        num_dst_nodes = int(dst.max()) + 1 if dst.size else 0
+    if src.size and (src.min() < 0 or src.max() >= num_src_nodes):
+        raise ValueError("edge source ids out of range")
+    if dst.size and (dst.min() < 0 or dst.max() >= num_dst_nodes):
+        raise ValueError("edge destination ids out of range")
+
+    # Sort by destination (stable in source) for sorted-segment aggregation.
+    order = np.lexsort((src, dst))
+    src, dst = src[order], dst[order]
+    if edge_weight is not None:
+        edge_weight = jnp.asarray(np.asarray(edge_weight)[order])
+
+    row_ptr = np.zeros(num_dst_nodes + 1, dtype=np.int64)
+    np.add.at(row_ptr, dst + 1, 1)
+    row_ptr = np.cumsum(row_ptr)
+
+    # Transpose structure: permutation into src-sorted order.
+    t_perm = np.lexsort((dst, src))
+    t_row_ptr = np.zeros(num_src_nodes + 1, dtype=np.int64)
+    np.add.at(t_row_ptr, src + 1, 1)
+    t_row_ptr = np.cumsum(t_row_ptr)
+
+    return Adjacency(
+        src=jnp.asarray(src, jnp.int32),
+        dst=jnp.asarray(dst, jnp.int32),
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        weight=edge_weight,
+        t_perm=jnp.asarray(t_perm, jnp.int32),
+        t_row_ptr=jnp.asarray(t_row_ptr, jnp.int32),
+        num_src_nodes=int(num_src_nodes),
+        num_dst_nodes=int(num_dst_nodes),
+    )

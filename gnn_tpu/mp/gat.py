@@ -1,0 +1,114 @@
+"""GAT — graph attention convolution (multi-head).
+
+No analog in the reference (it has no attention anywhere; SURVEY.md §2
+parallelism table maps "sequence attention" capabilities to this per-edge
+formulation). BASELINE.json config #4: "GAT multi-head attention (fused
+SDDMM + softmax + SpMM kernels)".
+
+Per head (GATv1, Velickovic et al.):
+
+    e_ij = LeakyReLU(a_dst . (W x_i) + a_src . (W x_j))      -- SDDMM
+    alpha_ij = softmax over j in N(i) of e_ij                 -- segment softmax
+    h_i = sum_j alpha_ij (W x_j)                              -- SpMM
+
+All three stages are edge-parallel segment ops over the dst-sorted CSR, so
+the whole layer is two gathers, elementwise VPU work, and two sorted
+segment reductions — no sequence axis, no ring.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gnn_tpu.graphs.adjacency import Adjacency
+from gnn_tpu.mp.message_passing import MessagePassing
+from gnn_tpu.nn import init as init_lib
+from gnn_tpu.nn.activations import leaky_relu
+from gnn_tpu.nn.dropout import dropout as dropout_fn
+from gnn_tpu.nn.linear import Linear
+from gnn_tpu.nn.module import static_field
+from gnn_tpu.ops.segment import segment_softmax, segment_sum
+
+__all__ = ["GATConv"]
+
+
+class GATConv(MessagePassing):
+    lin: Linear
+    att_src: jax.Array  # [H, F_head]
+    att_dst: jax.Array  # [H, F_head]
+    bias: Optional[jax.Array]
+    in_features: int = static_field(default=0)
+    out_features: int = static_field(default=0)
+    heads: int = static_field(default=1)
+    concat: bool = static_field(default=True)
+    negative_slope: float = static_field(default=0.2)
+    dropout_rate: float = static_field(default=0.0)
+    inference: bool = static_field(default=False)
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        key: jax.Array,
+        heads: int = 1,
+        concat: bool = True,
+        negative_slope: float = 0.2,
+        dropout: float = 0.0,
+        use_bias: bool = True,
+        dtype=jnp.float32,
+    ):
+        k_lin, k_src, k_dst, k_bias = jax.random.split(key, 4)
+        self.aggr = "sum"
+        self.in_features = in_features
+        self.out_features = out_features
+        self.heads = heads
+        self.concat = concat
+        self.negative_slope = negative_slope
+        self.dropout_rate = dropout
+        self.inference = False
+        self.lin = Linear(
+            in_features, heads * out_features, key=k_lin, use_bias=False, dtype=dtype
+        )
+        self.att_src = init_lib.glorot_uniform(k_src, (heads, out_features), dtype)
+        self.att_dst = init_lib.glorot_uniform(k_dst, (heads, out_features), dtype)
+        out_dim = heads * out_features if concat else out_features
+        self.bias = jnp.zeros((out_dim,), dtype) if use_bias else None
+
+    def __call__(
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        *,
+        key: Optional[jax.Array] = None,
+        return_attention: bool = False,
+    ):
+        N, H, F = x.shape[0], self.heads, self.out_features
+        h = self.lin(x).reshape(N, H, F)  # [N, H, F]
+        # Per-node attention halves: scores_src[n,h] = <a_src[h], W x_n>.
+        alpha_src = jnp.einsum("nhf,hf->nh", h, self.att_src)
+        alpha_dst = jnp.einsum("nhf,hf->nh", h, self.att_dst)
+        # SDDMM via precomputed halves: e[e,h] = act(a_dst.x_i + a_src.x_j).
+        e = alpha_dst[adj.dst] + alpha_src[adj.src]  # [E, H]
+        e = leaky_relu(e, self.negative_slope)
+        alpha = segment_softmax(
+            e, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
+        )  # [E, H]
+        if self.dropout_rate > 0 and not self.inference:
+            alpha = dropout_fn(key, alpha, self.dropout_rate)
+        msgs = h[adj.src] * alpha[:, :, None]  # [E, H, F]
+        out = segment_sum(
+            msgs, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
+        )  # [N, H, F]
+        if self.concat:
+            out = out.reshape(N, H * F)
+        else:
+            out = jnp.mean(out, axis=1)
+        if self.bias is not None:
+            out = out + self.bias
+        if return_attention:
+            return out, alpha
+        return out

@@ -1,0 +1,83 @@
+"""GraphSAGE convolution (mean aggregator).
+
+No analog exists in the reference (its only conv is GCNConv); this is part
+of the capability surface mandated by BASELINE.json config #3 ("GraphSAGE
+mean-aggregator with minibatch neighbor sampling"). Standard SAGE:
+
+    h_i = W_self x_i + W_neigh * mean_{j in N(i)} x_j   (+ optional L2 norm)
+
+The mean aggregation is a row-normalized SpMM; with a bipartite (sampled)
+adjacency the same code serves minibatch training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gnn_tpu.graphs.adjacency import Adjacency
+from gnn_tpu.mp.message_passing import MessagePassing
+from gnn_tpu.nn.linear import Linear
+from gnn_tpu.nn.module import static_field
+from gnn_tpu.ops.segment import segment_mean, segment_sum, segment_max
+from gnn_tpu.ops.sddmm import gather_src
+
+__all__ = ["SAGEConv"]
+
+
+class SAGEConv(MessagePassing):
+    lin_self: Linear
+    lin_neigh: Linear
+    in_features: int = static_field(default=0)
+    out_features: int = static_field(default=0)
+    normalize: bool = static_field(default=False)
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        *,
+        key: jax.Array,
+        aggr: str = "mean",
+        use_bias: bool = True,
+        normalize: bool = False,
+        dtype=jnp.float32,
+    ):
+        k1, k2 = jax.random.split(key)
+        self.aggr = aggr
+        self.in_features = in_features
+        self.out_features = out_features
+        self.normalize = normalize
+        self.lin_self = Linear(in_features, out_features, key=k1, use_bias=use_bias, dtype=dtype)
+        self.lin_neigh = Linear(in_features, out_features, key=k2, use_bias=False, dtype=dtype)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        x_dst: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """x: source-node features [N_src, F]. For bipartite/sampled graphs
+        pass x_dst [N_dst, F] (defaults to x for full-graph use)."""
+        if x_dst is None:
+            x_dst = x
+        msgs = gather_src(x, adj.src)
+        if adj.weight is not None:
+            msgs = msgs * adj.weight[:, None].astype(msgs.dtype)
+        if self.aggr == "mean":
+            agg = segment_mean(msgs, adj.dst, adj.num_dst_nodes, indices_are_sorted=True)
+        elif self.aggr == "sum":
+            agg = segment_sum(msgs, adj.dst, adj.num_dst_nodes, indices_are_sorted=True)
+        elif self.aggr == "max":
+            agg = segment_max(msgs, adj.dst, adj.num_dst_nodes, indices_are_sorted=True)
+            agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+        else:
+            raise ValueError(f"unknown aggr '{self.aggr}'")
+        out = self.lin_self(x_dst) + self.lin_neigh(agg)
+        if self.normalize:
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+        return out

@@ -1,0 +1,132 @@
+"""Segment reductions — the scatter side of message passing.
+
+This is the TPU-native generalization of the reference's single
+gather/scatter pair: the ``Slice`` op whose backward scatters into zeros
+(reference: include/operation.h:575-616, include/functional.h:483-494).
+On TPU, scatter-add with *sorted* segment ids lowers to an efficient
+one-pass reduction, so all graph prep in this framework sorts edges by
+destination and passes ``indices_are_sorted=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_min",
+    "segment_softmax",
+    "segment_normalize",
+]
+
+
+def segment_sum(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_mean(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    totals = segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(segment_ids, dtype=data.dtype),
+        segment_ids,
+        num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    counts = jnp.maximum(counts, 1)
+    return totals / counts.reshape((-1,) + (1,) * (data.ndim - 1))
+
+
+def segment_max(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    return jax.ops.segment_max(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_min(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    return jax.ops.segment_min(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+
+
+def segment_softmax(
+    logits: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jax.Array:
+    """Softmax within each segment (per-destination-node over incoming edges).
+
+    This is the graph analog of attention softmax: for GAT, segments are a
+    node's in-edges, so no sequence axis or ring trick is needed — the
+    reduction rides the same sorted-segment machinery as aggregation.
+    Numerically stabilized by the per-segment max shift (the same
+    exp(x - max) trick the reference softmax uses, src/nn.cpp:270-283).
+    """
+    maxes = segment_max(
+        jax.lax.stop_gradient(logits),
+        segment_ids,
+        num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    # Empty segments produce -inf maxes; they index nothing, but guard anyway.
+    maxes = jnp.where(jnp.isfinite(maxes), maxes, 0.0)
+    shifted = logits - maxes[segment_ids]
+    exp = jnp.exp(shifted)
+    denom = segment_sum(
+        exp, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    denom = jnp.maximum(denom, 1e-16)
+    return exp / denom[segment_ids]
+
+
+def segment_normalize(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    *,
+    p: float = 1.0,
+    indices_are_sorted: bool = False,
+    eps: float = 1e-12,
+) -> jax.Array:
+    """Normalize entries so each segment's Lp mass is 1."""
+    mass = segment_sum(
+        jnp.abs(data) ** p,
+        segment_ids,
+        num_segments,
+        indices_are_sorted=indices_are_sorted,
+    ) ** (1.0 / p)
+    return data / jnp.maximum(mass[segment_ids], eps)

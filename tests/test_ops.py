@@ -1,0 +1,161 @@
+"""Segment / SpMM / SDDMM op tests — sparse results and gradients must match
+their dense-matrix counterparts (the reference computes everything densely,
+src/graph.cpp:204-212, so dense is the parity oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_tpu import graphs, ops
+
+
+def make_adj(rng, n=15, e=50, weighted=True):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei, _ = graphs.coalesce(np.stack([src, dst]), num_nodes=n)
+    w = (
+        jnp.asarray(rng.normal(size=ei.shape[1]).astype(np.float32))
+        if weighted
+        else None
+    )
+    adj = graphs.build_adjacency(ei, w, num_nodes=n)
+    dense = np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n))
+    return adj, dense
+
+
+def test_segment_ops_vs_numpy(rng):
+    data = jnp.asarray(rng.normal(size=(10, 3)).astype(np.float32))
+    seg = jnp.asarray(np.sort(rng.integers(0, 4, 10)))
+    d, s = np.asarray(data), np.asarray(seg)
+    want_sum = np.zeros((5, 3), np.float32)
+    np.add.at(want_sum, s, d)
+    np.testing.assert_allclose(
+        ops.segment_sum(data, seg, 5, indices_are_sorted=True), want_sum, rtol=1e-5
+    )
+    counts = np.maximum(np.bincount(s, minlength=5), 1)[:, None]
+    np.testing.assert_allclose(
+        ops.segment_mean(data, seg, 5), want_sum / counts, rtol=1e-5
+    )
+    want_max = np.full((5, 3), -np.inf, np.float32)
+    np.maximum.at(want_max, s, d)
+    got_max = np.asarray(ops.segment_max(data, seg, 5))
+    np.testing.assert_allclose(got_max[np.isfinite(want_max)][...], want_max[np.isfinite(want_max)], rtol=1e-5)
+
+
+def test_segment_softmax_sums_to_one(rng):
+    logits = jnp.asarray(rng.normal(size=20).astype(np.float32))
+    seg = jnp.asarray(np.sort(rng.integers(0, 5, 20)))
+    sm = ops.segment_softmax(logits, seg, 5, indices_are_sorted=True)
+    sums = np.zeros(5)
+    np.add.at(sums, np.asarray(seg), np.asarray(sm))
+    present = np.bincount(np.asarray(seg), minlength=5) > 0
+    np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+
+def test_segment_softmax_stability():
+    logits = jnp.array([1000.0, 1000.0, -1000.0])
+    seg = jnp.array([0, 0, 1])
+    sm = np.asarray(ops.segment_softmax(logits, seg, 2))
+    assert np.isfinite(sm).all()
+    np.testing.assert_allclose(sm[:2], 0.5, rtol=1e-5)
+
+
+def test_segment_softmax_grad_matches_dense(rng):
+    logits = jnp.asarray(rng.normal(size=6).astype(np.float32))
+    seg = jnp.array([0, 0, 0, 1, 1, 1])
+
+    def f_seg(l):
+        return jnp.sum(ops.segment_softmax(l, seg, 2) * jnp.arange(6.0))
+
+    def f_dense(l):
+        a = jax.nn.softmax(l[:3])
+        b = jax.nn.softmax(l[3:])
+        return jnp.sum(a * jnp.arange(3.0)) + jnp.sum(b * jnp.arange(3.0, 6.0))
+
+    np.testing.assert_allclose(
+        jax.grad(f_seg)(logits), jax.grad(f_dense)(logits), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_spmm_matches_dense(rng):
+    adj, dense = make_adj(rng)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    np.testing.assert_allclose(ops.spmm(adj, x), dense @ np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_unweighted(rng):
+    adj, dense = make_adj(rng, weighted=False)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    np.testing.assert_allclose(ops.spmm(adj, x), dense @ np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_x_grad_matches_dense(rng):
+    adj, dense = make_adj(rng)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    g_sparse = jax.grad(lambda x: jnp.sum((ops.spmm(adj, x) - tgt) ** 2))(x)
+    g_dense = jax.grad(lambda x: jnp.sum((jnp.asarray(dense) @ x - tgt) ** 2))(x)
+    np.testing.assert_allclose(g_sparse, g_dense, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_weight_grad_matches_dense(rng):
+    adj, dense = make_adj(rng)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+
+    def f_sparse(w):
+        return jnp.sum(jnp.sin(ops.spmm(adj.with_weight(w), x)))
+
+    g_w = jax.grad(f_sparse)(adj.weight)
+
+    # dense oracle: dL/dA then pick entries
+    def f_dense(A):
+        return jnp.sum(jnp.sin(A @ x))
+
+    gA = np.asarray(jax.grad(f_dense)(jnp.asarray(dense)))
+    expected = gA[np.asarray(adj.dst), np.asarray(adj.src)]
+    np.testing.assert_allclose(g_w, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_transpose(rng):
+    adj, dense = make_adj(rng)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj.transpose(), x), dense.T @ np.asarray(x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spmm_rejects_bad_rank(rng):
+    adj, _ = make_adj(rng)
+    with pytest.raises(ValueError):
+        ops.spmm(adj, jnp.ones((15,)))
+
+
+def test_spmm_coo(rng):
+    adj, dense = make_adj(rng)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    out = ops.spmm_coo(adj.src, adj.dst, x, 15, adj.weight, indices_are_sorted=True)
+    np.testing.assert_allclose(out, dense @ np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_sddmm_matches_dense(rng):
+    adj, dense = make_adj(rng)
+    a = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    got = np.asarray(ops.sddmm(adj.src, adj.dst, a, b))
+    full = np.asarray(a) @ np.asarray(b).T  # [dst, src]
+    expected = full[np.asarray(adj.dst), np.asarray(adj.src)]
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_under_jit(rng):
+    adj, dense = make_adj(rng)
+    x = jnp.asarray(rng.normal(size=(15, 4)).astype(np.float32))
+    f = jax.jit(lambda adj, x: ops.spmm(adj, x))
+    np.testing.assert_allclose(f(adj, x), dense @ np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_empty_graph():
+    adj = graphs.build_adjacency(np.zeros((2, 0), np.int32), num_nodes=3)
+    out = ops.spmm(adj, jnp.ones((3, 2)))
+    np.testing.assert_allclose(out, 0.0)
