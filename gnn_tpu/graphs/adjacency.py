@@ -28,9 +28,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gnn_tpu.graphs.ell import EllLayout, build_ell
 from gnn_tpu.nn.module import Module, static_field
 
 __all__ = ["Adjacency", "build_adjacency"]
+
+
+def _refresh_ell_weights(ell, weight, num_edges: int):
+    """Recompute baked per-slot weights after an edge-weight swap."""
+    if ell is None:
+        return None
+    if weight is None:
+        blocks = tuple(
+            b.replace(w=(b.slot_to_edge < num_edges).astype(jnp.float32))
+            for b in ell.blocks
+        )
+    else:
+        # Baked slot weights are constants of the layout — not a grad path
+        # (use ops.spmm_edge_weighted for differentiable per-edge weights).
+        w_ext = jax.lax.stop_gradient(
+            jnp.concatenate(
+                [weight.astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
+            )
+        )
+        blocks = tuple(
+            b.replace(w=jnp.take(w_ext, b.slot_to_edge)) for b in ell.blocks
+        )
+    return ell.replace(blocks=blocks)
 
 
 class Adjacency(Module):
@@ -40,6 +64,8 @@ class Adjacency(Module):
     weight: Optional[jax.Array]  # [E] float or None (= all ones)
     t_perm: jax.Array  # [E] int32: dst-sorted order -> src-sorted order
     t_row_ptr: jax.Array  # [N_src + 1] int32 (CSR over sources)
+    ell: Optional[EllLayout]  # scatter-free fast-path layout (see ell.py)
+    t_ell: Optional[EllLayout]  # same for the transpose (backward dx)
     num_src_nodes: int = static_field(default=0)
     num_dst_nodes: int = static_field(default=0)
 
@@ -48,11 +74,36 @@ class Adjacency(Module):
         return int(self.src.shape[0])
 
     def with_weight(self, weight: Optional[jax.Array]) -> "Adjacency":
-        return self.replace(weight=weight)
+        """Swap edge weights. Refreshes the baked ELL slot weights — call
+        outside jit (one scalar gather per slot); for *differentiable*
+        per-edge weights use ops.spmm_edge_weighted instead."""
+        return self.replace(
+            weight=weight,
+            ell=_refresh_ell_weights(self.ell, weight, self.num_edges),
+            t_ell=_refresh_ell_weights(self.t_ell, weight, self.num_edges),
+        )
 
     def transpose(self) -> "Adjacency":
-        """A^T as an Adjacency (edges re-sorted by the old src)."""
+        """A^T as an Adjacency (edges re-sorted by the old src).
+
+        ELL ``slot_to_edge`` maps are kept relative to the owning adjacency's
+        canonical (dst-sorted) edge order, so they are remapped through the
+        inverse permutation here."""
         inv = jnp.argsort(self.t_perm)
+
+        def remap(ell):
+            if ell is None:
+                return None
+            inv_ext = jnp.concatenate(
+                [inv.astype(jnp.int32), jnp.asarray([self.num_edges], jnp.int32)]
+            )
+            return ell.replace(
+                blocks=tuple(
+                    b.replace(slot_to_edge=inv_ext[b.slot_to_edge])
+                    for b in ell.blocks
+                )
+            )
+
         return Adjacency(
             src=self.dst[self.t_perm],
             dst=self.src[self.t_perm],
@@ -60,6 +111,8 @@ class Adjacency(Module):
             weight=None if self.weight is None else self.weight[self.t_perm],
             t_perm=inv,
             t_row_ptr=self.row_ptr,
+            ell=remap(self.t_ell),
+            t_ell=remap(self.ell),
             num_src_nodes=self.num_dst_nodes,
             num_dst_nodes=self.num_src_nodes,
         )
@@ -77,6 +130,7 @@ def build_adjacency(
     num_nodes: Optional[int] = None,
     num_src_nodes: Optional[int] = None,
     num_dst_nodes: Optional[int] = None,
+    layout: str = "auto",
 ) -> Adjacency:
     """Prepare an :class:`Adjacency` from a COO edge list [2, E].
 
@@ -116,6 +170,25 @@ def build_adjacency(
     np.add.at(t_row_ptr, src + 1, 1)
     t_row_ptr = np.cumsum(t_row_ptr)
 
+    # Scatter-free ELL fast-path layout (see ell.py). "auto": build it for
+    # anything beyond toy size; tiny graphs stay on the segment path.
+    num_edges = len(src)
+    if layout == "auto":
+        layout = "ell" if num_edges >= 2048 else "csr"
+    ell = t_ell = None
+    if layout == "ell":
+        w_np = None if edge_weight is None else np.asarray(edge_weight)
+        ell = build_ell(
+            row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
+            edge_weight=w_np,
+        )
+        t_ell = build_ell(
+            t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
+            edge_weight=w_np,
+        )
+    elif layout != "csr":
+        raise ValueError(f"unknown layout '{layout}' (expected auto/ell/csr)")
+
     return Adjacency(
         src=jnp.asarray(src, jnp.int32),
         dst=jnp.asarray(dst, jnp.int32),
@@ -123,6 +196,8 @@ def build_adjacency(
         weight=edge_weight,
         t_perm=jnp.asarray(t_perm, jnp.int32),
         t_row_ptr=jnp.asarray(t_row_ptr, jnp.int32),
+        ell=ell,
+        t_ell=t_ell,
         num_src_nodes=int(num_src_nodes),
         num_dst_nodes=int(num_dst_nodes),
     )

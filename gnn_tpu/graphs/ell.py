@@ -1,0 +1,187 @@
+"""Degree-bucketed ELL layout — the scatter-free SpMM format.
+
+Why this exists: XLA's scatter-add on TPU costs ~12x its roofline (measured:
+2.3M-row sorted scatter ~19.5 ms vs ~1.6 ms of HBM traffic), while gathers
+run at the hardware's index rate. So the fast SpMM formulation is one with
+NO scatter at all:
+
+  1. Each destination node's in-edge list is padded to a power-of-2 width K
+     and placed in the ELL bucket for that K (padding <= 2x, typically ~1.3x
+     on power-law graphs). Nodes with degree > K_max are split across
+     multiple K_max-wide rows.
+  2. Forward per bucket: ``out_part = einsum('nk,nkf->nf', w, x[col])`` —
+     gather + dense reduction, fully XLA-fusable, zero scatter.
+  3. Per-node combine: one permutation *gather* for single-row (light)
+     nodes, plus a tiny fix-up for the few split (heavy) nodes.
+
+The backward dx runs the same machinery on the transpose graph's ELL, so
+neither direction ever scatters. Weights stay stored per-edge (dst-sorted
+order, as in :class:`~gnn_tpu.graphs.adjacency.Adjacency`); each ELL slot
+carries ``slot_to_edge`` so the kernel gathers current weights on the fly —
+cheap, and it keeps ``with_weight`` O(1).
+
+This plays the role the dense densification does in the reference
+(src/graph.cpp:207): the physical layout aggregation actually runs on.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tpu.nn.module import Module, static_field
+
+__all__ = ["EllBlock", "EllLayout", "build_ell"]
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+class EllBlock(Module):
+    """One fixed-width bucket: Nb rows of K slots each."""
+
+    col: jax.Array  # [Nb, K] int32 source-node ids (0 where padded)
+    slot_to_edge: jax.Array  # [Nb, K] int32 edge id in dst-sorted order, E if pad
+    rows: jax.Array  # [Nb] int32 destination node of each row
+    w: jax.Array  # [Nb, K] f32 slot weights, 0 where padded (pre-gathered:
+    # a per-slot scalar gather at runtime costs ~2.3ns/slot on TPU — more
+    # than the feature-row gather itself — so weights are baked at prep)
+    k: int = static_field(default=1)
+
+
+class EllLayout(Module):
+    blocks: Tuple[EllBlock, ...]
+    inv_light: jax.Array  # [N] int32 part-row id per node (R_total => zero row)
+    heavy_ids: jax.Array  # [H] int32 node ids with multiple part rows
+    heavy_slots: jax.Array  # [H, J] int32 part-row ids (R_total padded)
+    edge_to_slot: jax.Array  # [E] int32 flat slot index of each edge
+    num_rows_total: int = static_field(default=0)  # R_total
+    num_nodes: int = static_field(default=0)
+    num_edges: int = static_field(default=0)
+
+    @property
+    def num_slots(self) -> int:
+        return sum(int(b.col.size) for b in self.blocks)
+
+
+def build_ell(
+    row_ptr: np.ndarray,
+    col_of_edge: np.ndarray,
+    edge_of_slotorder: np.ndarray,
+    num_nodes: int,
+    num_edges: int,
+    buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+    edge_weight: np.ndarray | None = None,
+) -> EllLayout:
+    """Host-side construction.
+
+    ``row_ptr``: CSR offsets per destination node over some edge ordering;
+    ``col_of_edge``: the source node of each edge in that ordering;
+    ``edge_of_slotorder``: maps position in that ordering -> canonical edge
+    id (identity for the forward graph; ``t_perm`` for the transpose).
+    """
+    row_ptr = np.asarray(row_ptr, np.int64)
+    col_of_edge = np.asarray(col_of_edge, np.int64)
+    edge_of_slotorder = np.asarray(edge_of_slotorder, np.int64)
+    deg = np.diff(row_ptr)
+    buckets_arr = np.asarray(buckets, np.int64)
+    kmax = int(buckets_arr[-1])
+
+    # Vectorized piece assignment: each node contributes floor(d/kmax) full
+    # K_max pieces plus one remainder piece bucketed to the smallest K >= rem.
+    full = deg // kmax
+    rem = deg % kmax
+    n_full_total = int(full.sum())
+    full_nodes = np.repeat(np.arange(num_nodes), full)
+    idx_within = np.arange(n_full_total) - np.repeat(np.cumsum(full) - full, full)
+    full_starts = row_ptr[full_nodes] + idx_within * kmax
+    rem_nodes = np.nonzero(rem > 0)[0]
+    rem_counts = rem[rem_nodes]
+    rem_starts = row_ptr[rem_nodes] + full[rem_nodes] * kmax
+    rem_bucket = np.searchsorted(buckets_arr, rem_counts)
+
+    blocks = []
+    total_rows = 0
+    total_slots = 0
+    edge_to_slot = np.zeros(num_edges, np.int64)
+    all_piece_nodes = []  # (node, global_row) in bucket emission order
+    for bi, k in enumerate(buckets):
+        if k == kmax:
+            nodes_b = np.concatenate([rem_nodes[rem_bucket == bi], full_nodes])
+            starts_b = np.concatenate([rem_starts[rem_bucket == bi], full_starts])
+            counts_b = np.concatenate(
+                [rem_counts[rem_bucket == bi], np.full(n_full_total, kmax)]
+            )
+        else:
+            sel = rem_bucket == bi
+            nodes_b, starts_b, counts_b = rem_nodes[sel], rem_starts[sel], rem_counts[sel]
+        nb = len(nodes_b)
+        if nb == 0:
+            continue
+        slot_pos = starts_b[:, None] + np.arange(k)[None, :]
+        valid = np.arange(k)[None, :] < counts_b[:, None]
+        slot_pos = np.where(valid, slot_pos, 0)
+        edge_ids = np.where(valid, edge_of_slotorder[slot_pos], num_edges)
+        cols = np.where(valid, col_of_edge[slot_pos], 0)
+        if edge_weight is None:
+            w_b = valid.astype(np.float32)
+        else:
+            w_b = np.where(
+                valid, np.asarray(edge_weight, np.float32)[np.where(valid, edge_ids, 0)], 0.0
+            ).astype(np.float32)
+        flat_slots = total_slots + np.arange(nb * k).reshape(nb, k)
+        edge_to_slot[edge_ids[valid]] = flat_slots[valid]
+        total_slots += nb * k
+        all_piece_nodes.append(
+            np.stack([nodes_b, total_rows + np.arange(nb)], axis=1)
+        )
+        blocks.append(
+            EllBlock(
+                col=jnp.asarray(cols, jnp.int32),
+                slot_to_edge=jnp.asarray(edge_ids, jnp.int32),
+                rows=jnp.asarray(nodes_b, jnp.int32),
+                w=jnp.asarray(w_b),
+                k=int(k),
+            )
+        )
+        total_rows += nb
+
+    # Combine maps (vectorized): group part rows by node.
+    n_pieces = full + (rem > 0).astype(np.int64)
+    inv_light = np.full(num_nodes, total_rows, np.int64)  # default: zero row
+    if all_piece_nodes:
+        pairs = np.concatenate(all_piece_nodes)  # [(node, row)]
+        light = n_pieces[pairs[:, 0]] == 1
+        inv_light[pairs[light, 0]] = pairs[light, 1]
+        heavy_ids_arr = np.nonzero(n_pieces > 1)[0]
+    else:
+        heavy_ids_arr = np.zeros((0,), np.int64)
+    if len(heavy_ids_arr):
+        j_max = int(n_pieces[heavy_ids_arr].max())
+        heavy_slots = np.full((len(heavy_ids_arr), j_max), total_rows, np.int64)
+        hp = pairs[n_pieces[pairs[:, 0]] > 1]
+        hp = hp[np.argsort(hp[:, 0], kind="stable")]
+        node_rank = {n: i for i, n in enumerate(heavy_ids_arr)}
+        # position of each piece within its node (sorted by node)
+        counts = np.zeros(len(heavy_ids_arr), np.int64)
+        ranks = np.asarray([node_rank[n] for n in hp[:, 0]])
+        pos = np.zeros(len(hp), np.int64)
+        for i, r in enumerate(ranks):
+            pos[i] = counts[r]
+            counts[r] += 1
+        heavy_slots[ranks, pos] = hp[:, 1]
+    else:
+        heavy_slots = np.zeros((0, 1), np.int64)
+
+    return EllLayout(
+        blocks=tuple(blocks),
+        inv_light=jnp.asarray(inv_light, jnp.int32),
+        heavy_ids=jnp.asarray(heavy_ids_arr, jnp.int32),
+        heavy_slots=jnp.asarray(heavy_slots, jnp.int32),
+        edge_to_slot=jnp.asarray(edge_to_slot, jnp.int32),
+        num_rows_total=int(total_rows),
+        num_nodes=int(num_nodes),
+        num_edges=int(num_edges),
+    )

@@ -93,12 +93,14 @@ def power_law(
     """Edge list with power-law destination popularity (preferential-
     attachment-like skew), matching real-graph degree distributions."""
     rng = np.random.default_rng(seed)
-    # Zipf-ish popularity over nodes.
+    # Zipf-ish popularity over nodes, sampled by inverse CDF (rng.choice with
+    # explicit probabilities is orders of magnitude slower at this scale).
     ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
     popularity = ranks ** (-alpha)
-    popularity /= popularity.sum()
+    cdf = np.cumsum(popularity)
+    cdf /= cdf[-1]
     src = rng.integers(0, num_nodes, num_edges)
-    dst = rng.choice(num_nodes, size=num_edges, p=popularity)
+    dst = np.searchsorted(cdf, rng.random(num_edges))
     ei, _ = remove_self_loops(np.stack([src, dst]).astype(np.int64))
     ei, _ = coalesce(ei, num_nodes=num_nodes)
     return ei

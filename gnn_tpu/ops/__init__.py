@@ -15,7 +15,7 @@ from gnn_tpu.ops.segment import (
     segment_softmax,
     segment_normalize,
 )
-from gnn_tpu.ops.spmm import spmm, spmm_coo
+from gnn_tpu.ops.spmm import spmm, spmm_coo, spmm_edge_weighted
 from gnn_tpu.ops.sddmm import sddmm, gather_src, gather_dst
 
 __all__ = [
@@ -27,6 +27,7 @@ __all__ = [
     "segment_normalize",
     "spmm",
     "spmm_coo",
+    "spmm_edge_weighted",
     "sddmm",
     "gather_src",
     "gather_dst",

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from gnn_tpu.graphs.adjacency import Adjacency
 from gnn_tpu.ops.segment import segment_sum
 
-__all__ = ["spmm", "spmm_coo"]
+__all__ = ["spmm", "spmm_coo", "spmm_edge_weighted"]
 
 
 # -- core XLA path ----------------------------------------------------------
@@ -79,6 +79,112 @@ def _spmm_bwd(n_src, n_dst, res, g):
 _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+# -- ELL fast path (scatter-free; see graphs/ell.py for the rationale) ------
+
+
+def _ell_matvec(ell, x, weight=None):
+    """out[n] = sum over n's ELL slots of w_slot * x[col_slot]. No scatter:
+    per-bucket gather + dense reduction, then a permutation gather for the
+    per-node combine (tiny fix-up for split heavy nodes).
+
+    ``weight=None`` uses the slot weights baked into the layout (the fast
+    path — a runtime per-slot scalar gather costs as much as the row gather
+    itself). Passing a per-edge ``weight`` re-gathers slots dynamically; use
+    only for differentiable weights."""
+    F = x.shape[1]
+    parts = []
+    if weight is not None:
+        w_ext = jnp.concatenate([weight, jnp.zeros((1,), weight.dtype)])
+    for blk in ell.blocks:
+        w_slot = blk.w if weight is None else jnp.take(w_ext, blk.slot_to_edge)
+        g = jnp.take(x, blk.col, axis=0)  # [Nb, K, F]
+        parts.append(
+            jnp.sum(w_slot[:, :, None] * g, axis=1, dtype=jnp.float32).astype(
+                x.dtype
+            )
+        )
+    flat = jnp.concatenate(parts + [jnp.zeros((1, F), x.dtype)], axis=0)
+    out = jnp.take(flat, ell.inv_light, axis=0)
+    if int(ell.heavy_ids.shape[0]):
+        heavy = jnp.sum(jnp.take(flat, ell.heavy_slots, axis=0), axis=1)
+        out = out.at[ell.heavy_ids].set(heavy)
+    return out
+
+
+def _ell_edge_grad(ell, g_out, x):
+    """dw_e = <g[dst_e], x[src_e]> in ELL form (an SDDMM), mapped back to
+    canonical edge order by a gather (never a scatter)."""
+    parts = []
+    for blk in ell.blocks:
+        g_rows = jnp.take(g_out, blk.rows, axis=0)  # [Nb, F]
+        xg = jnp.take(x, blk.col, axis=0)  # [Nb, K, F]
+        parts.append(
+            jnp.einsum(
+                "nf,nkf->nk", g_rows, xg, preferred_element_type=jnp.float32
+            ).reshape(-1)
+        )
+    flat = jnp.concatenate(parts)
+    return jnp.take(flat, ell.edge_to_slot)
+
+
+@jax.custom_vjp
+def _spmm_ell(x, ell, t_ell):
+    """Static-weight ELL SpMM: differentiates x only (the adjacency's
+    weights — e.g. frozen GCN norm — are treated as constants)."""
+    return _ell_matvec(ell, x)
+
+
+def _spmm_ell_fwd(x, ell, t_ell):
+    return _ell_matvec(ell, x), (ell, t_ell)
+
+
+def _spmm_ell_bwd(res, g):
+    ell, t_ell = res
+    return _ell_matvec(t_ell, g), None, None
+
+
+_spmm_ell.defvjp(_spmm_ell_fwd, _spmm_ell_bwd)
+
+
+@jax.custom_vjp
+def _spmm_ell_dynw(x, weight, ell, t_ell):
+    """Dynamic-weight ELL SpMM: differentiates x AND the per-edge weight."""
+    return _ell_matvec(ell, x, weight)
+
+
+def _spmm_ell_dynw_fwd(x, weight, ell, t_ell):
+    return _ell_matvec(ell, x, weight), (x, weight, ell, t_ell)
+
+
+def _spmm_ell_dynw_bwd(res, g):
+    x, weight, ell, t_ell = res
+    dx = _ell_matvec(t_ell, g, weight).astype(x.dtype)
+    dw = _ell_edge_grad(ell, g, x).astype(weight.dtype)
+    return dx, dw, None, None
+
+
+_spmm_ell_dynw.defvjp(_spmm_ell_dynw_fwd, _spmm_ell_dynw_bwd)
+
+
+def spmm_edge_weighted(
+    adj: Adjacency, weight: jax.Array, x: jax.Array
+) -> jax.Array:
+    """SpMM with caller-supplied *differentiable* per-edge weights (in the
+    adjacency's canonical dst-sorted edge order) — the attention fast path.
+    Falls back to the segment backend when no ELL layout is present."""
+    if adj.ell is not None and adj.t_ell is not None:
+        return _spmm_ell_dynw(x, weight, adj.ell, adj.t_ell)
+    return _spmm(
+        adj.num_src_nodes,
+        adj.num_dst_nodes,
+        x,
+        weight,
+        adj.src,
+        adj.dst,
+        adj.t_perm,
+    )
+
+
 # -- public API -------------------------------------------------------------
 
 
@@ -95,11 +201,18 @@ def spmm(
     if x.ndim != 2:
         raise ValueError(f"spmm expects x of rank 2 [N, F], got {x.shape}")
     if backend == "auto":
-        backend = "segment"
+        backend = "ell" if adj.ell is not None else "segment"
     if backend == "pallas":
         from gnn_tpu.ops.pallas.spmm import spmm_pallas
 
         return spmm_pallas(adj, x)
+    if backend == "ell":
+        if adj.ell is None or adj.t_ell is None:
+            raise ValueError(
+                "spmm backend 'ell' needs an ELL layout: build the adjacency "
+                "with build_adjacency(..., layout='ell')"
+            )
+        return _spmm_ell(x, adj.ell, adj.t_ell)
     if backend != "segment":
         raise ValueError(f"unknown spmm backend '{backend}'")
     return _spmm(

@@ -159,3 +159,118 @@ def test_empty_graph():
     adj = graphs.build_adjacency(np.zeros((2, 0), np.int32), num_nodes=3)
     out = ops.spmm(adj, jnp.ones((3, 2)))
     np.testing.assert_allclose(out, 0.0)
+
+
+# -- ELL fast-path backend --------------------------------------------------
+
+
+def make_ell_adj(rng, n=60, e=400):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei, _ = graphs.coalesce(np.stack([src, dst]), num_nodes=n)
+    w = jnp.asarray(rng.normal(size=ei.shape[1]).astype(np.float32))
+    adj = graphs.build_adjacency(ei, w, num_nodes=n, layout="ell")
+    dense = np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n))
+    return adj, dense
+
+
+def test_ell_spmm_matches_dense(rng):
+    adj, dense = make_ell_adj(rng)
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj, x, backend="ell"), dense @ np.asarray(x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ell_auto_backend_selected(rng):
+    adj, dense = make_ell_adj(rng)
+    assert adj.ell is not None
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj, x), dense @ np.asarray(x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ell_unweighted(rng):
+    adj, _ = make_ell_adj(rng)
+    adj = adj.with_weight(None)
+    dense = (np.asarray(graphs.to_dense_adj(adj.edge_index, num_nodes=60)) > 0) * 1.0
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj, x, backend="ell"), dense @ np.asarray(x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ell_x_grad_matches_dense(rng):
+    adj, dense = make_ell_adj(rng)
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+    g_ell = jax.grad(lambda x: jnp.sum(jnp.sin(ops.spmm(adj, x, backend="ell"))))(x)
+    g_dense = jax.grad(lambda x: jnp.sum(jnp.sin(jnp.asarray(dense) @ x)))(x)
+    np.testing.assert_allclose(g_ell, g_dense, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_weight_grad_matches_dense(rng):
+    """Differentiable per-edge weights go through spmm_edge_weighted."""
+    adj, dense = make_ell_adj(rng)
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+
+    g_w = jax.grad(
+        lambda w: jnp.sum(jnp.sin(ops.spmm_edge_weighted(adj, w, x)))
+    )(adj.weight)
+    gA = np.asarray(
+        jax.grad(lambda A: jnp.sum(jnp.sin(A @ x)))(jnp.asarray(dense))
+    )
+    expected = gA[np.asarray(adj.dst), np.asarray(adj.src)]
+    np.testing.assert_allclose(g_w, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_transpose(rng):
+    adj, dense = make_ell_adj(rng)
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+    adj_t = adj.transpose()
+    np.testing.assert_allclose(
+        ops.spmm(adj_t, x, backend="ell"), dense.T @ np.asarray(x), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ell_heavy_node_split(rng):
+    """A hub with degree > K_max=512 must split across rows and recombine."""
+    n = 700
+    hub_src = np.arange(1, 650)
+    src = np.concatenate([hub_src, rng.integers(0, n, 200)])
+    dst = np.concatenate([np.zeros(len(hub_src), np.int64), rng.integers(1, n, 200)])
+    ei, _ = graphs.coalesce(np.stack([src, dst]), num_nodes=n)
+    w = jnp.asarray(rng.normal(size=ei.shape[1]).astype(np.float32))
+    adj = graphs.build_adjacency(ei, w, num_nodes=n, layout="ell")
+    assert int(adj.ell.heavy_ids.shape[0]) >= 1
+    dense = np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n))
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj, x, backend="ell"), dense @ np.asarray(x), rtol=1e-3, atol=1e-3
+    )
+    # gradient through the heavy path too
+    g = jax.grad(lambda x: jnp.sum(ops.spmm(adj, x, backend="ell") ** 2))(x)
+    gd = jax.grad(lambda x: jnp.sum((jnp.asarray(dense) @ x) ** 2))(x)
+    np.testing.assert_allclose(g, gd, rtol=1e-3, atol=1e-3)
+
+
+def test_ell_isolated_nodes(rng):
+    """Nodes with zero in-degree must produce zero rows."""
+    ei = np.array([[1, 2], [2, 1]])
+    adj = graphs.build_adjacency(ei, num_nodes=5, layout="ell")
+    x = jnp.asarray(rng.normal(size=(5, 4)).astype(np.float32))
+    out = np.asarray(ops.spmm(adj, x, backend="ell"))
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[3], 0.0)
+    np.testing.assert_allclose(out[4], 0.0)
+
+
+def test_ell_matches_segment_backend(rng):
+    adj, _ = make_ell_adj(rng)
+    x = jnp.asarray(rng.normal(size=(60, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj, x, backend="ell"),
+        ops.spmm(adj, x, backend="segment"),
+        rtol=1e-4,
+        atol=1e-4,
+    )
