@@ -200,6 +200,18 @@ def spmm(
     """
     if x.ndim != 2:
         raise ValueError(f"spmm expects x of rank 2 [N, F], got {x.shape}")
+    # Distributed dispatch: a partitioned graph routes to the shard_map path,
+    # so GCN/GIN layers run multi-chip without any code change.
+    from gnn_tpu.parallel.partition import DistGraph
+
+    if isinstance(adj, DistGraph):
+        if adj.mesh is None:
+            raise ValueError(
+                "DistGraph has no mesh: partition_graph(..., mesh=mesh)"
+            )
+        from gnn_tpu.parallel.halo import spmm_dist
+
+        return spmm_dist(adj, x, adj.mesh, axis_name=adj.axis_name)
     if backend == "auto":
         backend = "ell" if adj.ell is not None else "segment"
     if backend == "pallas":

@@ -5,5 +5,18 @@ no parallelism at all (SURVEY.md §2 parallelism inventory).
 """
 
 from gnn_tpu.parallel.mesh import make_mesh, replicated, shard, P, Mesh, NamedSharding
+from gnn_tpu.parallel.partition import DistGraph, partition_graph
+from gnn_tpu.parallel.halo import spmm_dist, shard_node_array
 
-__all__ = ["make_mesh", "replicated", "shard", "P", "Mesh", "NamedSharding"]
+__all__ = [
+    "make_mesh",
+    "replicated",
+    "shard",
+    "P",
+    "Mesh",
+    "NamedSharding",
+    "DistGraph",
+    "partition_graph",
+    "spmm_dist",
+    "shard_node_array",
+]

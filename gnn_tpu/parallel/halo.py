@@ -1,0 +1,87 @@
+"""Distributed SpMM under shard_map.
+
+v1 halo strategy: all-gather the node features over the ``data`` axis, then
+aggregate locally with the per-chip ELL (scatter-free). The backward is NOT
+left to autodiff: a custom VJP computes dx with the *transpose-partitioned*
+ELL (out-edges of owned nodes), so the backward is also one all-gather + a
+local reduction — no reduce-scatter of scattered gradients, no cross-chip
+scatter-add anywhere.
+
+Math: out_p = A_p x  (A_p = in-edge rows of chip p's nodes)
+      dx_p  = (A^T)_p g  (rows of A^T owned by p = out-edges of p's nodes)
+Both sides only need the full activation/cotangent vector, which is what the
+all-gather provides; contributions never cross chips after the gather.
+
+The all-gather rides ICI; XLA's latency-hiding scheduler overlaps it with
+the independent dense work around the SpMM inside the same jit. A targeted
+all-to-all exchange (send only boundary rows) is the planned v2 for
+DCN-scale graphs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnn_tpu.ops.spmm import _ell_matvec
+from gnn_tpu.parallel.partition import DistGraph
+
+__all__ = ["spmm_dist", "shard_node_array"]
+
+
+def _strip(tree):
+    """Remove the size-1 leading axis shard_map leaves on stacked pytrees."""
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def spmm_dist(
+    dist: DistGraph,
+    x_sh: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "data",
+) -> jax.Array:
+    """out = A @ x over the mesh. ``x_sh``: [P*n_max, F] in the padded
+    node layout (see DistGraph.shard_nodes), sharded P('data', None)."""
+    if x_sh.ndim != 2:
+        raise ValueError(f"spmm_dist expects [P*n_max, F], got {x_sh.shape}")
+
+    @jax.custom_vjp
+    def local(x_local, ell, t_ell):
+        x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
+        return _ell_matvec(_strip(ell), x_full)
+
+    def local_fwd(x_local, ell, t_ell):
+        return local(x_local, ell, t_ell), (ell, t_ell)
+
+    def local_bwd(res, g):
+        ell, t_ell = res
+        g_full = jax.lax.all_gather(g, axis_name, tiled=True)
+        dx = _ell_matvec(_strip(t_ell), g_full)
+        return dx, None, None
+
+    local.defvjp(local_fwd, local_bwd)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name, None),
+        # Only the graph-partition axis is manual; any other mesh axes
+        # (e.g. a tensor-parallel 'model' axis) stay under GSPMD control.
+        axis_names={axis_name},
+    )
+    return fn(x_sh, dist.ell, dist.t_ell)
+
+
+def shard_node_array(
+    dist: DistGraph, x, mesh: Mesh, *, axis_name: str = "data", fill=0
+):
+    """Pad a [N, ...] node array into the [P*n_max, ...] layout and place it
+    row-sharded over the mesh."""
+    x_sh = dist.shard_nodes(jnp.asarray(x), fill=fill)
+    spec = P(axis_name, *([None] * (x_sh.ndim - 1)))
+    return jax.device_put(x_sh, NamedSharding(mesh, spec))

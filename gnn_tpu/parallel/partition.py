@@ -1,0 +1,253 @@
+"""Graph partitioning for multi-chip message passing.
+
+The reference has no distributed capability (SURVEY.md §2: every parallelism
+row "Absent"). This module implements the graph-domain analog of context/
+sequence parallelism: a 1-D partition of nodes over the mesh's ``data``
+axis. Each chip owns a contiguous range of nodes, the in-edges of its owned
+nodes (for the forward SpMM), and the out-edges of its owned nodes (for the
+backward dx = A^T g — partitioned by source owner so the backward pass is
+ALSO a purely local reduction after the halo exchange).
+
+Everything is padded to identical per-chip shapes (XLA static-shape rule):
+node count to ``n_max``, ELL bucket rows to per-bucket maxima. Padding rows
+gather row 0 with weight 0 and are never referenced by the combine maps, so
+they cost bandwidth but never correctness.
+
+The partitioned node layout is ``[P, n_max]``: global node g lives at
+``(owner(g), g - offset(owner))``. Features/labels/masks are repartitioned
+into this layout once (:meth:`DistGraph.shard_nodes`) and every layer stays
+in it — no gather/scatter at layer boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tpu.graphs.ell import EllBlock, EllLayout, build_ell
+from gnn_tpu.nn.module import Module, static_field
+
+__all__ = ["DistGraph", "partition_graph"]
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _pad_stack_ells(ells: Sequence[EllLayout], n_max: int) -> EllLayout:
+    """Stack per-chip ELL layouts into one pytree with leading axis P."""
+    P = len(ells)
+    # Union of bucket widths, ascending.
+    ks = sorted({b.k for e in ells for b in e.blocks})
+    blocks = []
+    for k in ks:
+        per_part = []
+        for e in ells:
+            match = [b for b in e.blocks if b.k == k]
+            per_part.append(match[0] if match else None)
+        nb_max = max(1, max(0 if b is None else b.col.shape[0] for b in per_part))
+        cols = np.zeros((P, nb_max, k), np.int32)
+        ws = np.zeros((P, nb_max, k), np.float32)
+        rows = np.full((P, nb_max), n_max, np.int32)  # n_max = dropped write
+        s2e = np.zeros((P, nb_max, k), np.int32)
+        for p, b in enumerate(per_part):
+            if b is None:
+                continue
+            nb = b.col.shape[0]
+            cols[p, :nb] = _np(b.col)
+            ws[p, :nb] = _np(b.w)
+            rows[p, :nb] = _np(b.rows)
+            s2e[p, :nb] = _np(b.slot_to_edge)
+        blocks.append(
+            EllBlock(
+                col=jnp.asarray(cols),
+                slot_to_edge=jnp.asarray(s2e),
+                rows=jnp.asarray(rows),
+                w=jnp.asarray(ws),
+                k=int(k),
+            )
+        )
+    r_max = max(e.num_rows_total for e in ells)
+    inv_light = np.full((P, n_max), r_max, np.int64)
+    # Per-part row ids must be remapped into the common padded part-row space.
+    # Part-row ids are bucket-local offsets summed in bucket order; after
+    # padding, bucket b starts at sum of previous buckets' nb_max. Rebuild
+    # the maps from scratch instead of remapping: simpler and safe.
+    h_max = max(1, max(int(e.heavy_ids.shape[0]) for e in ells))
+    j_max = max(1, max(int(e.heavy_slots.shape[1]) for e in ells))
+    heavy_ids = np.full((P, h_max), n_max, np.int64)  # n_max = dropped write
+    heavy_slots_arr = None  # filled after row remap below
+
+    # Build old->new part-row id remapping per part.
+    new_offsets = {}
+    off = 0
+    for k, blk in zip(ks, blocks):
+        new_offsets[k] = off
+        off += blk.col.shape[1]
+    r_total_new = off
+
+    heavy_slots_arr = np.full((P, h_max, j_max), r_total_new, np.int64)
+    for p, e in enumerate(ells):
+        old_off = 0
+        remap = np.full(e.num_rows_total + 1, r_total_new, np.int64)
+        for b in e.blocks:
+            nb = b.col.shape[0]
+            remap[old_off : old_off + nb] = new_offsets[b.k] + np.arange(nb)
+            old_off += nb
+        inv = _np(e.inv_light).astype(np.int64)
+        inv_light[p, : inv.shape[0]] = remap[np.minimum(inv, e.num_rows_total)]
+        h = int(e.heavy_ids.shape[0])
+        if h:
+            heavy_ids[p, :h] = _np(e.heavy_ids)
+            hs = _np(e.heavy_slots).astype(np.int64)
+            heavy_slots_arr[p, :h, : hs.shape[1]] = remap[
+                np.minimum(hs, e.num_rows_total)
+            ]
+
+    e_max = max(e.num_edges for e in ells)
+    e2s = np.zeros((P, max(1, e_max)), np.int64)
+    for p, e in enumerate(ells):
+        v = _np(e.edge_to_slot)
+        e2s[p, : v.shape[0]] = v
+
+    return EllLayout(
+        blocks=tuple(blocks),
+        inv_light=jnp.asarray(inv_light, jnp.int32),
+        heavy_ids=jnp.asarray(heavy_ids, jnp.int32),
+        heavy_slots=jnp.asarray(heavy_slots_arr, jnp.int32),
+        edge_to_slot=jnp.asarray(e2s, jnp.int32),
+        num_rows_total=int(r_total_new),
+        num_nodes=int(n_max),
+        num_edges=int(e_max),
+    )
+
+
+class DistGraph(Module):
+    """Node-partitioned graph: per-chip ELL structures with leading axis P.
+
+    ``ell``: in-edges of owned nodes (forward); column ids index the padded
+    GLOBAL layout [P * n_max] (v1 halo = all-gather).
+    ``t_ell``: out-edges of owned nodes (backward dx), same convention.
+    """
+
+    ell: EllLayout
+    t_ell: EllLayout
+    num_parts: int = static_field(default=1)
+    n_max: int = static_field(default=0)  # owned nodes per chip (padded)
+    num_nodes: int = static_field(default=0)  # true global node count
+    mesh: object = static_field(default=None)  # jax.sharding.Mesh (hashable)
+    axis_name: str = static_field(default="data")
+
+    def global_to_padded(self, ids: np.ndarray) -> np.ndarray:
+        """Global node id -> position in the padded [P * n_max] layout."""
+        ids = np.asarray(ids)
+        owner = np.minimum(ids // self.n_max, self.num_parts - 1)
+        # contiguous equal ranges: offset(p) = p * n_max in padded layout and
+        # p * n_max in global too (owner defined by padded stride)
+        return owner * self.n_max + (ids - owner * self.n_max)
+
+    def shard_nodes(self, x: jax.Array, fill=0) -> jax.Array:
+        """Repartition a [N, ...] node array into padded [P * n_max, ...]."""
+        N = self.num_nodes
+        pad_total = self.num_parts * self.n_max - N
+        if x.ndim == 1:
+            pad = jnp.full((pad_total,), fill, x.dtype)
+        else:
+            pad = jnp.full((pad_total, *x.shape[1:]), fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
+    def unshard_nodes(self, x_sh: jax.Array) -> jax.Array:
+        """Inverse of shard_nodes (drop padding rows)."""
+        return x_sh[: self.num_nodes]
+
+
+def partition_graph(
+    edge_index,
+    edge_weight=None,
+    *,
+    num_nodes: int,
+    num_parts: Optional[int] = None,
+    mesh=None,
+    axis_name: str = "data",
+) -> DistGraph:
+    """Partition a COO graph by contiguous node ranges over ``num_parts``.
+
+    With the padded layout, owner(g) = g // n_max where
+    n_max = ceil(N / P) rounded up to a multiple of 8 (TPU sublane tiling).
+    """
+    if num_parts is None:
+        if mesh is None:
+            raise ValueError("pass num_parts or a mesh")
+        num_parts = mesh.shape[axis_name]
+    ei = np.asarray(edge_index)
+    src, dst = ei[0].astype(np.int64), ei[1].astype(np.int64)
+    w = None if edge_weight is None else np.asarray(edge_weight, np.float32)
+    P = int(num_parts)
+    n_max = -(-num_nodes // P)
+    n_max = ((n_max + 7) // 8) * 8  # sublane-align owned ranges
+
+    def owner(ids):
+        return np.minimum(ids // n_max, P - 1)
+
+    # Padded-global position of a node (identity here because ranges are
+    # contiguous with stride n_max).
+    def padded_pos(ids):
+        return ids
+
+    fwd_ells = []
+    bwd_ells = []
+    for p in range(P):
+        lo, hi = p * n_max, min((p + 1) * n_max, num_nodes)
+        # Forward: in-edges of owned dst nodes.
+        m = (dst >= lo) & (dst < hi)
+        s_p, d_p = src[m], dst[m] - lo
+        w_p = None if w is None else w[m]
+        order = np.lexsort((s_p, d_p))
+        s_p, d_p = s_p[order], d_p[order]
+        w_p = None if w_p is None else w_p[order]
+        row_ptr = np.zeros(n_max + 1, np.int64)
+        np.add.at(row_ptr, d_p + 1, 1)
+        row_ptr = np.cumsum(row_ptr)
+        fwd_ells.append(
+            build_ell(
+                row_ptr,
+                padded_pos(s_p),
+                np.arange(len(s_p)),
+                n_max,
+                len(s_p),
+                edge_weight=w_p,
+            )
+        )
+        # Backward: out-edges of owned src nodes (rows of A^T).
+        m = (src >= lo) & (src < hi)
+        s_p, d_p = src[m] - lo, dst[m]  # A^T: row = src, col = dst
+        w_p = None if w is None else w[m]
+        order = np.lexsort((d_p, s_p))
+        s_p, d_p = s_p[order], d_p[order]
+        w_p = None if w_p is None else w_p[order]
+        row_ptr = np.zeros(n_max + 1, np.int64)
+        np.add.at(row_ptr, s_p + 1, 1)
+        row_ptr = np.cumsum(row_ptr)
+        bwd_ells.append(
+            build_ell(
+                row_ptr,
+                padded_pos(d_p),
+                np.arange(len(d_p)),
+                n_max,
+                len(d_p),
+                edge_weight=w_p,
+            )
+        )
+
+    return DistGraph(
+        ell=_pad_stack_ells(fwd_ells, n_max),
+        t_ell=_pad_stack_ells(bwd_ells, n_max),
+        num_parts=P,
+        n_max=int(n_max),
+        num_nodes=int(num_nodes),
+        mesh=mesh,
+        axis_name=axis_name,
+    )
