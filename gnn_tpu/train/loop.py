@@ -1,0 +1,190 @@
+"""Training loops.
+
+The reference has all the *pieces* of a training step (loss, optimizers,
+backward) but no loop anywhere — main() is empty (SURVEY.md §3.3,
+main.cpp:32-36). This module is that missing subsystem: jitted full-graph
+and sampled-minibatch loops with eval, early stopping, metrics, and
+checkpointing, driven by the Config tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_tpu import nn, optim
+from gnn_tpu.graphs.data import Data
+from gnn_tpu.graphs.sampling import NeighborSampler
+from gnn_tpu.models import GAT, GCN, EncoderGCN, GraphSAGE
+from gnn_tpu.train.config import Config
+from gnn_tpu.train.metrics import MetricLogger, Throughput
+
+__all__ = ["build_model", "build_optimizer", "fit", "evaluate"]
+
+
+def build_model(cfg: Config, in_features: int, num_classes: int, key):
+    m = cfg.model
+    if m.name == "gcn":
+        return GCN(
+            in_features, m.hidden, num_classes, key=key,
+            num_layers=m.num_layers, dropout=m.dropout,
+        )
+    if m.name == "sage":
+        return GraphSAGE(
+            in_features, m.hidden, num_classes, key=key,
+            num_layers=m.num_layers, aggr=m.aggr, dropout=m.dropout,
+        )
+    if m.name == "gat":
+        return GAT(
+            in_features, m.hidden, num_classes, key=key,
+            num_layers=m.num_layers, heads=m.heads, dropout=m.dropout,
+        )
+    if m.name == "encoder_gcn":
+        return EncoderGCN(
+            in_features, num_classes, key=key,
+            num_layers=m.num_layers, dropout=m.dropout,
+        )
+    raise ValueError(f"unknown model '{m.name}'")
+
+
+def build_optimizer(cfg: Config) -> optim.GradientTransformation:
+    o = cfg.optim
+    if o.name == "adam":
+        base = optim.adam(o.lr, weight_decay=o.weight_decay)
+    elif o.name == "adamw":
+        base = optim.adamw(o.lr, weight_decay=o.weight_decay)
+    elif o.name == "sgd":
+        base = optim.sgd(o.lr, momentum=o.momentum, weight_decay=o.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer '{o.name}'")
+    if o.grad_clip > 0:
+        return optim.chain(optim.clip_by_global_norm(o.grad_clip), base)
+    return base
+
+
+def _needs_state(model) -> bool:
+    return any(isinstance(leaf, nn.StateIndex)
+               for leaf in jax.tree_util.tree_leaves(
+                   model, is_leaf=lambda l: isinstance(l, nn.StateIndex)))
+
+
+def evaluate(model, state, data: Data, adj) -> dict:
+    m = nn.inference_mode(model)
+    if state is not None:
+        logits, _ = m(data.x, adj, state)
+    else:
+        logits = m(data.x, adj)
+    out = {}
+    for split in ("train", "val", "test"):
+        mask = getattr(data, f"{split}_mask")
+        if mask is not None:
+            out[f"{split}_acc"] = float(nn.accuracy(logits, data.y, mask))
+    return out
+
+
+def fit(
+    cfg: Config,
+    data: Data,
+    *,
+    model=None,
+    verbose: bool = True,
+) -> Tuple[object, Optional[nn.State], list]:
+    """Train per config. Returns (trained model, buffer state, history)."""
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, mkey = jax.random.split(key)
+    num_classes = int(np.asarray(data.y).max()) + 1
+    if model is None:
+        model = build_model(cfg, data.num_features, num_classes, mkey)
+    state = nn.init_state(model) if _needs_state(model) else None
+    adj = data.to_adjacency(norm="sym")
+    params, static = nn.partition(model)
+    opt = build_optimizer(cfg)
+    opt_state = opt.init(params)
+    logger = MetricLogger(cfg.train.log_file, echo=verbose)
+
+    ckpt = None
+    if cfg.train.checkpoint_dir:
+        from gnn_tpu.train.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(cfg.train.checkpoint_dir)
+
+    sampled = cfg.train.batch_size > 0
+    if sampled:
+        sampler = NeighborSampler(data, cfg.train.fanouts)
+        train_ids = np.nonzero(np.asarray(data.train_mask))[0]
+
+        @jax.jit
+        def step(params, opt_state, key, seeds):
+            def loss_fn(p):
+                m = nn.combine(p, static)
+                nodes, adjs = sampler.sample(key, seeds)
+                logits = m.forward_sampled(data.x[nodes], adjs, key=key)
+                return nn.cross_entropy(logits, data.y[seeds])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = opt.update(grads, opt_state, params)
+            return optim.apply_updates(params, upd), opt_state, loss
+    else:
+
+        @jax.jit
+        def step(params, opt_state, state, key):
+            def loss_fn(p):
+                m = nn.combine(p, static)
+                if state is not None:
+                    logits, new_state = m(data.x, adj, state, key=key)
+                else:
+                    logits, new_state = m(data.x, adj, key=key), None
+                return nn.cross_entropy(logits, data.y, data.train_mask), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt_state = opt.update(grads, opt_state, params)
+            return optim.apply_updates(params, upd), opt_state, new_state, loss
+
+    history = []
+    best_val, best_params, patience_left = -1.0, None, cfg.train.patience
+    rng_np = np.random.default_rng(cfg.train.seed)
+    thr = Throughput(data.num_edges)
+    thr.start()
+    for epoch in range(cfg.train.epochs):
+        key, k = jax.random.split(key)
+        if sampled:
+            seeds = jnp.asarray(
+                rng_np.choice(train_ids, cfg.train.batch_size), jnp.int32
+            )
+            params, opt_state, loss = step(params, opt_state, k, seeds)
+        else:
+            params, opt_state, state, loss = step(params, opt_state, state, k)
+        thr.step()
+
+        if (epoch + 1) % cfg.train.eval_every == 0 or epoch == cfg.train.epochs - 1:
+            model_now = nn.combine(params, static)
+            metrics = evaluate(model_now, state, data, adj)
+            metrics["loss"] = float(loss)
+            metrics["edges_per_s"] = thr.edges_per_s
+            logger.log(epoch + 1, **metrics)
+            history.append(metrics)
+            if ckpt and cfg.train.checkpoint_every and (
+                (epoch + 1) % cfg.train.checkpoint_every == 0
+            ):
+                ckpt.save(epoch + 1, model_now, opt_state, state)
+            val = metrics.get("val_acc")
+            if cfg.train.patience and val is not None:
+                if val > best_val:
+                    best_val, best_params, patience_left = val, params, cfg.train.patience
+                else:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        break
+
+    if best_params is not None:
+        params = best_params
+    model = nn.combine(params, static)
+    if ckpt:
+        ckpt.save(cfg.train.epochs, model, opt_state, state)
+        ckpt.close()
+    logger.close()
+    return model, state, history

@@ -1,0 +1,127 @@
+"""Training subsystem tests: config, loop, checkpoint round trip, CLI."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gnn_tpu import nn
+from gnn_tpu.graphs.datasets import load_dataset
+from gnn_tpu.train import Config, evaluate, fit
+from gnn_tpu.train.cli import parse_args
+
+
+def small_cfg(**over):
+    cfg = Config.from_dict(
+        {
+            "dataset": "sbm",
+            "model": {"name": "gcn", "hidden": 16, "dropout": 0.2},
+            "optim": {"lr": 0.01},
+            "train": {"epochs": 30, "eval_every": 10},
+        }
+    )
+    for k, v in over.items():
+        parts = k.split(".")
+        tgt = cfg
+        for p in parts[:-1]:
+            tgt = getattr(tgt, p)
+        setattr(tgt, parts[-1], v)
+    return cfg
+
+
+def test_config_json_round_trip():
+    cfg = small_cfg()
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2.model.hidden == 16 and cfg2.train.epochs == 30
+
+
+def test_config_overrides():
+    cfg = small_cfg().apply_overrides(
+        ["model.name=sage", "optim.lr=0.5", "train.fanouts=[3,3]"]
+    )
+    assert cfg.model.name == "sage"
+    assert cfg.optim.lr == 0.5
+    assert cfg.train.fanouts == [3, 3]
+    with pytest.raises(ValueError):
+        small_cfg().apply_overrides(["bogus.key=1"])
+
+
+def test_cli_parse():
+    cfg = parse_args(["--dataset", "karate", "--model.name", "gat", "--optim.lr", "0.005"])
+    assert cfg.dataset == "karate"
+    assert cfg.model.name == "gat"
+    assert cfg.optim.lr == 0.005
+
+
+def test_fit_full_graph_learns():
+    data = load_dataset("sbm", num_nodes=200, seed=5)
+    model, state, history = fit(small_cfg(**{"train.epochs": 60}), data, verbose=False)
+    assert history[-1]["test_acc"] > 0.85
+
+
+def test_fit_sampled_learns():
+    data = load_dataset("sbm", num_nodes=250, seed=6)
+    cfg = small_cfg(
+        **{
+            "model.name": "sage",
+            "train.epochs": 120,
+            "train.batch_size": 64,
+            "train.fanouts": [4, 4],
+        }
+    )
+    model, state, history = fit(cfg, data, verbose=False)
+    assert history[-1]["test_acc"] > 0.8
+
+
+def test_fit_encoder_gcn_with_state():
+    """The reference flagship recipe trains through the Config path too."""
+    data = load_dataset("sbm", num_nodes=150, seed=7)
+    cfg = small_cfg(**{"model.name": "encoder_gcn", "train.epochs": 40})
+    model, state, history = fit(cfg, data, verbose=False)
+    assert state is not None
+    assert history[-1]["test_acc"] > 0.7
+
+
+def test_early_stopping():
+    data = load_dataset("sbm", num_nodes=150, seed=8)
+    cfg = small_cfg(
+        **{"train.epochs": 200, "train.eval_every": 5, "train.patience": 2}
+    )
+    model, state, history = fit(cfg, data, verbose=False)
+    assert len(history) < 40  # stopped early
+
+
+def test_checkpoint_round_trip(tmp_path):
+    from gnn_tpu.train.checkpoint import Checkpointer
+
+    data = load_dataset("sbm", num_nodes=120, seed=9)
+    cfg = small_cfg(
+        **{
+            "train.epochs": 20,
+            "train.checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+    )
+    model, state, history = fit(cfg, data, verbose=False)
+    adj = data.to_adjacency(norm="sym")
+    metrics_before = evaluate(model, state, data, adj)
+
+    # fresh model, restore, same metrics
+    cfg2 = small_cfg()
+    key = jax.random.PRNGKey(99)
+    from gnn_tpu.train.loop import build_model
+
+    fresh = build_model(cfg2, data.num_features, 4, key)
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    restored, _, _, _ = ck.restore(fresh)
+    metrics_after = evaluate(restored, None, data, adj)
+    assert metrics_before["test_acc"] == pytest.approx(metrics_after["test_acc"])
+    ck.close()
+
+
+def test_karate_dataset():
+    d = load_dataset("karate")
+    assert d.num_nodes == 34
+    assert d.num_edges == 156  # 78 undirected
+    assert int(np.asarray(d.y).sum()) > 0
