@@ -155,20 +155,26 @@ def build_adjacency(
         raise ValueError("edge destination ids out of range")
 
     # Sort by destination (stable in source) for sorted-segment aggregation.
-    order = np.lexsort((src, dst))
-    src, dst = src[order], dst[order]
+    # O(E + N) native counting sort when the C++ graph-core is available
+    # (gnn_tpu/native), numpy lexsort otherwise.
+    from gnn_tpu import native
+
+    if num_src_nodes == num_dst_nodes:
+        order, row_ptr = native.sort_edges_csr(src, dst, num_dst_nodes)
+        src, dst = src[order], dst[order]
+        t_perm, t_row_ptr = native.sort_edges_csr(dst, src, num_src_nodes)
+    else:
+        order = np.lexsort((src, dst))
+        src, dst = src[order], dst[order]
+        row_ptr = np.zeros(num_dst_nodes + 1, dtype=np.int64)
+        np.add.at(row_ptr, dst + 1, 1)
+        row_ptr = np.cumsum(row_ptr)
+        t_perm = np.lexsort((dst, src))
+        t_row_ptr = np.zeros(num_src_nodes + 1, dtype=np.int64)
+        np.add.at(t_row_ptr, src + 1, 1)
+        t_row_ptr = np.cumsum(t_row_ptr)
     if edge_weight is not None:
         edge_weight = jnp.asarray(np.asarray(edge_weight)[order])
-
-    row_ptr = np.zeros(num_dst_nodes + 1, dtype=np.int64)
-    np.add.at(row_ptr, dst + 1, 1)
-    row_ptr = np.cumsum(row_ptr)
-
-    # Transpose structure: permutation into src-sorted order.
-    t_perm = np.lexsort((dst, src))
-    t_row_ptr = np.zeros(num_src_nodes + 1, dtype=np.int64)
-    np.add.at(t_row_ptr, src + 1, 1)
-    t_row_ptr = np.cumsum(t_row_ptr)
 
     # Scatter-free ELL fast-path layout (see ell.py). "auto": build it for
     # anything beyond toy size; tiny graphs stay on the segment path.

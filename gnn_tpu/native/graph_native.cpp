@@ -1,0 +1,135 @@
+// Native graph-core: host-side hot paths for graph preprocessing.
+//
+// TPU-native equivalent of the reference's C++ graph layer
+// (reference: src/graph.cpp:10-75 converters, src/utils.cpp:96 index
+// machinery) — but built for scale: the reference densifies O(N^2); these
+// routines are O(E + N) counting sorts and samplers intended for
+// 100M+-edge graphs where numpy's lexsort (O(E log E), multi-pass) becomes
+// the preprocessing bottleneck.
+//
+// Pure C ABI (ctypes-friendly): no exceptions across the boundary, caller
+// allocates all buffers.
+
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+
+// Stable counting sort of edges by (dst major, src minor).
+// Outputs: perm [E] (position in sorted order -> original edge id),
+//          row_ptr [n_nodes + 1] CSR offsets over dst.
+// Returns 0 on success, nonzero on invalid ids.
+int64_t sort_edges_csr(int64_t n_nodes, int64_t n_edges,
+                       const int64_t* src, const int64_t* dst,
+                       int64_t* perm, int64_t* row_ptr) {
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (src[e] < 0 || src[e] >= n_nodes || dst[e] < 0 || dst[e] >= n_nodes)
+      return 1;
+  }
+  std::vector<int64_t> count(n_nodes + 1, 0);
+  std::vector<int64_t> tmp(n_edges);
+  // Pass 1: stable counting sort by src (minor key).
+  for (int64_t e = 0; e < n_edges; ++e) count[src[e] + 1]++;
+  for (int64_t i = 0; i < n_nodes; ++i) count[i + 1] += count[i];
+  for (int64_t e = 0; e < n_edges; ++e) tmp[count[src[e]]++] = e;
+  // Pass 2: stable counting sort by dst (major key).
+  std::memset(count.data(), 0, sizeof(int64_t) * (n_nodes + 1));
+  for (int64_t e = 0; e < n_edges; ++e) count[dst[e] + 1]++;
+  for (int64_t i = 0; i < n_nodes; ++i) count[i + 1] += count[i];
+  std::memcpy(row_ptr, count.data(), sizeof(int64_t) * (n_nodes + 1));
+  for (int64_t i = 0; i < n_edges; ++i) {
+    int64_t e = tmp[i];
+    perm[count[dst[e]]++] = e;
+  }
+  return 0;
+}
+
+// Weighted or unweighted in/out degrees.
+void degrees(int64_t n_nodes, int64_t n_edges, const int64_t* nodes,
+             const float* weight, double* out) {
+  std::memset(out, 0, sizeof(double) * n_nodes);
+  if (weight) {
+    for (int64_t e = 0; e < n_edges; ++e) out[nodes[e]] += weight[e];
+  } else {
+    for (int64_t e = 0; e < n_edges; ++e) out[nodes[e]] += 1.0;
+  }
+}
+
+// Uniform neighbor sampling over a CSR graph.
+// replace != 0: with replacement (always exactly `fanout` draws).
+// replace == 0: without replacement; rows with degree < fanout are padded
+//               with -1. Uses partial Fisher-Yates on an index scratch.
+// Zero-degree seeds emit the seed itself in slot 0, -1 elsewhere.
+void sample_neighbors(const int64_t* row_ptr, const int64_t* col,
+                      int64_t n_seeds, const int64_t* seeds, int64_t fanout,
+                      uint64_t rng_seed, int64_t replace, int64_t* out) {
+  std::mt19937_64 rng(rng_seed);
+  std::vector<int64_t> scratch;
+  for (int64_t s = 0; s < n_seeds; ++s) {
+    int64_t v = seeds[s];
+    int64_t lo = row_ptr[v], hi = row_ptr[v + 1];
+    int64_t deg = hi - lo;
+    int64_t* row = out + s * fanout;
+    if (deg == 0) {
+      row[0] = v;
+      for (int64_t j = 1; j < fanout; ++j) row[j] = -1;
+      continue;
+    }
+    if (replace) {
+      for (int64_t j = 0; j < fanout; ++j)
+        row[j] = col[lo + static_cast<int64_t>(rng() % deg)];
+    } else if (deg <= fanout) {
+      for (int64_t j = 0; j < deg; ++j) row[j] = col[lo + j];
+      for (int64_t j = deg; j < fanout; ++j) row[j] = -1;
+    } else {
+      scratch.resize(deg);
+      for (int64_t j = 0; j < deg; ++j) scratch[j] = lo + j;
+      for (int64_t j = 0; j < fanout; ++j) {
+        int64_t r = j + static_cast<int64_t>(rng() % (deg - j));
+        std::swap(scratch[j], scratch[r]);
+        row[j] = col[scratch[j]];
+      }
+    }
+  }
+}
+
+// Merge duplicate edges of a dst-sorted edge list (weights summed).
+// In: sorted src/dst [E] (by dst major, src minor) + optional weight.
+// Out: compacted arrays; returns the number of unique edges.
+int64_t coalesce_sorted(int64_t n_edges, const int64_t* src,
+                        const int64_t* dst, const float* weight,
+                        int64_t* out_src, int64_t* out_dst,
+                        float* out_weight) {
+  int64_t m = 0;
+  for (int64_t e = 0; e < n_edges; ++e) {
+    if (m > 0 && out_src[m - 1] == src[e] && out_dst[m - 1] == dst[e]) {
+      if (weight) out_weight[m - 1] += weight[e];
+      continue;
+    }
+    out_src[m] = src[e];
+    out_dst[m] = dst[e];
+    if (weight) out_weight[m] = weight[e];
+    ++m;
+  }
+  return m;
+}
+
+// Greedy balanced 1-D partition of nodes by edge count: contiguous node
+// ranges such that each part holds ~E/P in-edges. Outputs part boundaries
+// [P + 1] over node ids.
+void partition_by_edges(int64_t n_nodes, int64_t n_parts,
+                        const int64_t* row_ptr, int64_t* boundaries) {
+  int64_t total = row_ptr[n_nodes];
+  boundaries[0] = 0;
+  int64_t node = 0;
+  for (int64_t p = 1; p < n_parts; ++p) {
+    int64_t target = total * p / n_parts;
+    while (node < n_nodes && row_ptr[node] < target) ++node;
+    boundaries[p] = node;
+  }
+  boundaries[n_parts] = n_nodes;
+}
+
+}  // extern "C"
