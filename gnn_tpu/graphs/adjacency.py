@@ -66,6 +66,10 @@ class Adjacency(Module):
     t_row_ptr: jax.Array  # [N_src + 1] int32 (CSR over sources)
     ell: Optional[EllLayout]  # scatter-free fast-path layout (see ell.py)
     t_ell: Optional[EllLayout]  # same for the transpose (backward dx)
+    chunk_plan: object  # Optional[ops.pallas.ChunkPlan] for the MXU
+    # one-hot segment-sum kernel (dynamic-weight/attention aggregation)
+    t_chunk_plan: object  # same over the src-sorted (transpose) ordering —
+    # backs the VJP of edge gathers (scatter-free backward)
     num_src_nodes: int = static_field(default=0)
     num_dst_nodes: int = static_field(default=0)
 
@@ -113,6 +117,8 @@ class Adjacency(Module):
             t_row_ptr=self.row_ptr,
             ell=remap(self.t_ell),
             t_ell=remap(self.ell),
+            chunk_plan=self.t_chunk_plan,
+            t_chunk_plan=self.chunk_plan,
             num_src_nodes=self.num_dst_nodes,
             num_dst_nodes=self.num_src_nodes,
         )
@@ -195,6 +201,13 @@ def build_adjacency(
     elif layout != "csr":
         raise ValueError(f"unknown layout '{layout}' (expected auto/ell/csr)")
 
+    chunk_plan = t_chunk_plan = None
+    if ell is not None:
+        from gnn_tpu.ops.pallas.segment import build_chunk_plan
+
+        chunk_plan = build_chunk_plan(dst, num_dst_nodes)
+        t_chunk_plan = build_chunk_plan(src[t_perm], num_src_nodes)
+
     return Adjacency(
         src=jnp.asarray(src, jnp.int32),
         dst=jnp.asarray(dst, jnp.int32),
@@ -204,6 +217,8 @@ def build_adjacency(
         t_row_ptr=jnp.asarray(t_row_ptr, jnp.int32),
         ell=ell,
         t_ell=t_ell,
+        chunk_plan=chunk_plan,
+        t_chunk_plan=t_chunk_plan,
         num_src_nodes=int(num_src_nodes),
         num_dst_nodes=int(num_dst_nodes),
     )

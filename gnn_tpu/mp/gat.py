@@ -30,9 +30,27 @@ from gnn_tpu.nn.activations import leaky_relu
 from gnn_tpu.nn.dropout import dropout as dropout_fn
 from gnn_tpu.nn.linear import Linear
 from gnn_tpu.nn.module import static_field
-from gnn_tpu.ops.segment import segment_softmax, segment_sum
+from gnn_tpu.ops.gather import gather_dst_edges, gather_src_edges
+from gnn_tpu.ops.segment import segment_softmax, segment_sum, segment_sum_edges
 
 __all__ = ["GATConv"]
+
+
+def _edge_softmax(adj: Adjacency, e: jax.Array) -> jax.Array:
+    """Softmax over each destination's in-edges.
+
+    When the adjacency carries a Pallas chunk plan, uses a *global* max
+    shift (mathematically identical — softmax is shift-invariant per
+    segment) so both reductions are scatter-free: the denominator rides the
+    one-hot-matmul segment-sum kernel instead of XLA's scatter."""
+    if adj.chunk_plan is not None:
+        m = jax.lax.stop_gradient(jnp.max(e))
+        ex = jnp.exp(e - m)
+        denom = segment_sum_edges(ex, adj)
+        return ex / jnp.maximum(denom[adj.dst], 1e-16)
+    return segment_softmax(
+        e, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
+    )
 
 
 class GATConv(MessagePassing):
@@ -87,22 +105,44 @@ class GATConv(MessagePassing):
         return_attention: bool = False,
     ):
         N, H, F = x.shape[0], self.heads, self.out_features
+        E = adj.num_edges
         h = self.lin(x).reshape(N, H, F)  # [N, H, F]
-        # Per-node attention halves: scores_src[n,h] = <a_src[h], W x_n>.
-        alpha_src = jnp.einsum("nhf,hf->nh", h, self.att_src)
-        alpha_dst = jnp.einsum("nhf,hf->nh", h, self.att_dst)
-        # SDDMM via precomputed halves: e[e,h] = act(a_dst.x_i + a_src.x_j).
-        e = alpha_dst[adj.dst] + alpha_src[adj.src]  # [E, H]
+        # Gather once per endpoint with scatter-free VJPs (ops/gather.py);
+        # both the scores and the messages reuse h_src, so the backward is a
+        # single transpose-sorted Pallas reduction instead of an unsorted
+        # XLA scatter.
+        h_src = gather_src_edges(h.reshape(N, H * F), adj).reshape(E, H, F)
+        alpha_dst = jnp.einsum("nhf,hf->nh", h, self.att_dst)  # [N, H]
+        # SDDMM: e[e,h] = act(a_dst.x_i + a_src.x_j)
+        e = gather_dst_edges(alpha_dst, adj) + jnp.einsum(
+            "ehf,hf->eh", h_src, self.att_src
+        )
         e = leaky_relu(e, self.negative_slope)
-        alpha = segment_softmax(
-            e, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
-        )  # [E, H]
-        if self.dropout_rate > 0 and not self.inference:
-            alpha = dropout_fn(key, alpha, self.dropout_rate)
-        msgs = h[adj.src] * alpha[:, :, None]  # [E, H, F]
-        out = segment_sum(
-            msgs, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
-        )  # [N, H, F]
+        if adj.chunk_plan is not None and not return_attention:
+            # Fused scatter-free path: numerator and softmax denominator ride
+            # ONE Pallas segment-sum (the flash-attention trick, graph
+            # edition). Global max shift is mathematically identical to the
+            # per-segment shift (softmax is shift-invariant within each
+            # segment). Attention dropout masks the numerator's exp terms —
+            # same semantics as dropping normalized alphas.
+            ex = jnp.exp(e - jax.lax.stop_gradient(jnp.max(e)))  # [E, H]
+            ex_num = (
+                dropout_fn(key, ex, self.dropout_rate)
+                if self.dropout_rate > 0 and not self.inference
+                else ex
+            )
+            numerator = (ex_num[:, :, None] * h_src).reshape(E, H * F)
+            combined = jnp.concatenate([numerator, ex], axis=1)  # [E, H*F+H]
+            agg = segment_sum_edges(combined, adj)  # [N_dst, H*F+H]
+            num = agg[:, : H * F].reshape(adj.num_dst_nodes, H, F)
+            den = agg[:, H * F :]  # [N_dst, H]
+            out = num / jnp.maximum(den, 1e-16)[:, :, None]
+        else:
+            alpha = _edge_softmax(adj, e)  # [E, H]
+            if self.dropout_rate > 0 and not self.inference:
+                alpha = dropout_fn(key, alpha, self.dropout_rate)
+            msgs = h_src * alpha[:, :, None]  # [E, H, F]
+            out = segment_sum_edges(msgs, adj)  # [N, H, F]
         if self.concat:
             out = out.reshape(N, H * F)
         else:

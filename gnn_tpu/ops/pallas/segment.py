@@ -1,0 +1,243 @@
+"""Pallas TPU kernel: sorted segment-sum as one-hot MXU matmuls.
+
+Why: XLA lowers scatter-add on TPU to a slow sequential loop (measured
+~12x off roofline for a 2.3M x 128 sorted scatter). For *sorted* segment
+ids the reduction can instead ride the MXU: take a chunk of C consecutive
+edges, build the one-hot matrix S[r, c] = [row_of_edge_c == r] with an
+iota-compare (VPU), and accumulate S @ msg into the output window — one
+[R, C] x [C, F] matmul per chunk, zero scatter.
+
+Host-side plan (:func:`build_chunk_plan`, once per graph structure):
+
+* cut the sorted edge list at C-multiples AND R-aligned destination-window
+  boundaries, so each chunk touches exactly one output window;
+* align each chunk's msg-DMA start down to the sublane (8) and clamp to
+  E - C; the per-slot *local row* table [G, C] (precomputed, -1 for slots
+  outside the chunk) absorbs both corrections — the kernel needs no
+  shift/length logic at all;
+* empty windows get a zero-chunk (all -1) so every output block is written.
+
+Chunks visit windows monotonically; the kernel accumulates in the out VMEM
+block across sequential grid steps and Pallas flushes on window change.
+
+This is the dynamic-weight aggregation path (e.g. GAT attention); the
+static-weight SpMM uses the ELL formulation in gnn_tpu.ops.spmm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnn_tpu.nn.module import Module, static_field
+
+__all__ = ["ChunkPlan", "build_chunk_plan", "segment_sum_sorted"]
+
+DEFAULT_C = 2048  # edges per chunk (swept on v5e: best with R=256)
+DEFAULT_R = 256  # output rows per window
+
+
+class ChunkPlan(Module):
+    start: jax.Array  # [G] sublane-aligned, clamped msg-DMA start
+    local: jax.Array  # [G, C] in-window output row per DMA slot, -1 = dead
+    window: jax.Array  # [G] output window index (block row)
+    first: jax.Array  # [G] 1 if first chunk of its window
+    num_windows: int = static_field(default=0)
+    chunk: int = static_field(default=DEFAULT_C)
+    rows: int = static_field(default=DEFAULT_R)
+    num_edges: int = static_field(default=0)
+
+
+def build_chunk_plan(
+    dst_sorted: np.ndarray,
+    num_nodes: int,
+    *,
+    chunk: int = DEFAULT_C,
+    rows: int = DEFAULT_R,
+) -> ChunkPlan:
+    """Host-side, structure-only (reusable across steps)."""
+    dst_sorted = np.asarray(dst_sorted, np.int64)
+    E = len(dst_sorted)
+    C, R = int(chunk), int(rows)
+    n_windows = max(1, -(-num_nodes // R))
+    win_ptr = np.searchsorted(dst_sorted, np.arange(n_windows + 1) * R)
+    starts, locals_, windows, firsts = [], [], [], []
+    for w in range(n_windows):
+        lo, hi = int(win_ptr[w]), int(win_ptr[w + 1])
+        if lo == hi:
+            starts.append(0)
+            locals_.append(np.full(C, -1, np.int32))
+            windows.append(w)
+            firsts.append(1)
+            continue
+        s = lo
+        while s < hi:
+            # Align the DMA start down to the sublane; the chunk then covers
+            # valid edges [s, aligned + C) only — advance by what's covered.
+            # DMA bound uses the 8-padded edge count (msg is padded to match).
+            e_pad = -(-E // 8) * 8
+            aligned = min(s - s % 8, max(e_pad - C, 0))
+            end = min(aligned + C, hi)
+            slot_edges = aligned + np.arange(C)
+            valid = (slot_edges >= s) & (slot_edges < end)
+            loc = np.where(
+                valid, dst_sorted[np.minimum(slot_edges, E - 1)] - w * R, -1
+            )
+            starts.append(aligned)
+            locals_.append(loc.astype(np.int32))
+            windows.append(w)
+            firsts.append(1 if s == lo else 0)
+            s = end
+    # Pad the chunk count to a multiple of 8 with dead chunks (all-dead
+    # local rows, accumulate-into-last-window) so the [G, C] local table can
+    # use an (8, C) block spec (int32 min tile is 8 sublanes).
+    while len(starts) % 8 != 0:
+        starts.append(0)
+        locals_.append(np.full(C, -1, np.int32))
+        windows.append(n_windows - 1)
+        firsts.append(0)
+    return ChunkPlan(
+        start=jnp.asarray(starts, jnp.int32),
+        local=jnp.asarray(np.stack(locals_)),
+        window=jnp.asarray(windows, jnp.int32),
+        first=jnp.asarray(firsts, jnp.int32),
+        num_windows=int(n_windows),
+        chunk=C,
+        rows=R,
+        num_edges=int(E),
+    )
+
+
+def _kernel(
+    start_ref,
+    win_ref,
+    first_ref,
+    local_ref,  # [1, C] block of the local-row table
+    msg_hbm,
+    out_ref,
+    msg_vmem,
+    sem,
+    *,
+    chunk: int,
+    rows: int,
+    acc_dtype,
+    precision,
+):
+    g = pl.program_id(0)
+    start = pl.multiple_of(start_ref[g], 8)  # plan guarantees alignment
+    cp = pltpu.make_async_copy(
+        msg_hbm.at[pl.ds(start, chunk), :], msg_vmem, sem
+    )
+    cp.start()
+    cp.wait()
+
+    local = local_ref[g % 8, :]  # [C]; -1 never matches a row id
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
+    dn = (((1,), (0,)), ((), ()))
+    if precision == "bf16x2" and msg_vmem.dtype == jnp.float32:
+        # The one-hot side is bf16-exact; only the messages need more
+        # mantissa. Split msg = hi + lo (two bf16 MXU passes) instead of
+        # Mosaic's HIGHEST (six passes) for f32-grade accuracy at 3x speed.
+        onehot = (local[None, :] == row).astype(jnp.bfloat16)
+        m = msg_vmem[:, :]
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            onehot, hi, dimension_numbers=dn, preferred_element_type=acc_dtype
+        ) + jax.lax.dot_general(
+            onehot, lo, dimension_numbers=dn, preferred_element_type=acc_dtype
+        )
+    else:
+        onehot = (local[None, :] == row).astype(msg_vmem.dtype)
+        contrib = jax.lax.dot_general(
+            onehot,
+            msg_vmem[:, :],
+            dimension_numbers=dn,
+            preferred_element_type=acc_dtype,
+            precision=precision,
+        )
+
+    @pl.when(first_ref[g] == 1)
+    def _():
+        out_ref[:, :] = contrib
+
+    @pl.when(first_ref[g] == 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + contrib
+
+
+def segment_sum_sorted(
+    msg: jax.Array,
+    plan: ChunkPlan,
+    num_nodes: int,
+    *,
+    dst_sorted: jax.Array | None = None,
+    precision=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[n] = sum of msg rows whose (sorted) dst is n. msg: [E, F].
+
+    ``dst_sorted`` is only needed for the tiny-graph XLA fallback.
+    """
+    E, F = msg.shape
+    if E != plan.num_edges:
+        raise ValueError(f"plan built for {plan.num_edges} edges, got {E}")
+    C, R = plan.chunk, plan.rows
+    if E < C:
+        if dst_sorted is None:
+            raise ValueError("graphs smaller than one chunk need dst_sorted")
+        return jax.ops.segment_sum(
+            msg, dst_sorted, num_nodes, indices_are_sorted=True
+        )
+    if E % 8 != 0:
+        # Sublane-pad the edge axis (the plan's DMA bounds assume this).
+        msg = jnp.concatenate(
+            [msg, jnp.zeros((8 - E % 8, F), msg.dtype)], axis=0
+        )
+    G = plan.start.shape[0]
+    acc_dtype = jnp.float32
+    out_padded = plan.num_windows * R
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((8, C), lambda g, start, window, first: (g // 8, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # msg stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (R, F), lambda g, start, window, first: (window[g], 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, F), msg.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    if precision is None:
+        precision = (
+            "bf16x2" if msg.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+        )
+    if interpret and precision == "bf16x2":
+        precision = jax.lax.Precision.HIGHEST  # interpreter has no bf16 MXU
+    kernel = functools.partial(
+        _kernel, chunk=C, rows=R, acc_dtype=acc_dtype, precision=precision
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_padded, F), acc_dtype),
+        interpret=interpret,
+    )(
+        plan.start,
+        plan.window,
+        plan.first,
+        plan.local,
+        msg,
+    )
+    return out[:num_nodes].astype(msg.dtype)

@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "segment_sum",
@@ -22,6 +23,7 @@ __all__ = [
     "segment_min",
     "segment_softmax",
     "segment_normalize",
+    "segment_sum_edges",
 ]
 
 
@@ -130,3 +132,62 @@ def segment_normalize(
         indices_are_sorted=indices_are_sorted,
     ) ** (1.0 / p)
     return data / jnp.maximum(mass[segment_ids], eps)
+
+
+def segment_sum_edges(
+    values: jax.Array,
+    adj,
+    *,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-edge values [E, ...] -> per-destination sums [N_dst, ...].
+
+    Edge order is the adjacency's canonical dst-sorted order. On TPU, when
+    the adjacency carries a chunk plan, this runs the Pallas one-hot-matmul
+    kernel (~3x the XLA scatter, see ops/pallas/segment.py) with an exact
+    gather VJP; otherwise the XLA sorted-segment path.
+    """
+    use_pallas = (
+        adj.chunk_plan is not None
+        and backend in ("auto", "pallas")
+        and (interpret or jax.default_backend() != "cpu")
+        and values.shape[0] >= adj.chunk_plan.chunk
+    )
+    if backend == "pallas" and adj.chunk_plan is None:
+        raise ValueError("adjacency has no chunk plan (build with layout='ell')")
+    if not use_pallas:
+        return segment_sum(
+            values, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
+        )
+
+    from gnn_tpu.ops.pallas.segment import segment_sum_sorted
+
+    plan = adj.chunk_plan
+    dst = adj.dst
+    n_dst = adj.num_dst_nodes
+
+    @jax.custom_vjp
+    def fwd(v):
+        shape = v.shape
+        flat = v.reshape(shape[0], -1)
+        width = flat.shape[1]
+        pad = (-width) % 128  # Mosaic DMA wants lane-aligned rows
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((flat.shape[0], pad), flat.dtype)], axis=1
+            )
+        out = segment_sum_sorted(flat, plan, n_dst, interpret=interpret)
+        if pad:
+            out = out[:, :width]
+        return out.reshape((n_dst,) + shape[1:])
+
+    def fwd_fwd(v):
+        return fwd(v), None
+
+    def fwd_bwd(_, g):
+        # VJP of segment-sum = gather by destination.
+        return (jnp.take(g, dst, axis=0),)
+
+    fwd.defvjp(fwd_fwd, fwd_bwd)
+    return fwd(values)
