@@ -1,0 +1,95 @@
+"""End-to-end training benchmark: full-graph epochs/s + edges/s per model.
+
+Run on TPU:  python benchmarks/e2e.py [--model gcn|sage|gat] [--quick]
+
+The epoch here is one full-graph training step (fwd + bwd + optimizer) —
+the BASELINE.md "ogbn-arxiv epoch time" shape, on the synthetic arxiv-scale
+power-law graph (same node count; real ogbn-arxiv loads via
+graphs.datasets.load_dataset('ogbn-arxiv', root) when the files exist).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gcn", choices=["gcn", "sage", "gat"])
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--nodes", type=int, default=169_343)
+    ap.add_argument("--edges", type=int, default=1_157_799)
+    ap.add_argument("--features", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--classes", type=int, default=40)
+    args = ap.parse_args()
+
+    from gnn_tpu import graphs, nn, optim
+    from gnn_tpu.graphs.generate import power_law
+    from gnn_tpu.models import GAT, GCN, GraphSAGE
+    from gnn_tpu.utils.profiling import time_fn
+
+    N, F = args.nodes, args.features
+    ei = power_law(N, args.edges, seed=0)
+    ei, _ = graphs.to_undirected(ei, num_nodes=N)
+    norm = "sym" if args.model == "gcn" else None
+    data_ei, w = (
+        graphs.gcn_norm(ei, num_nodes=N)
+        if norm
+        else (graphs.add_remaining_self_loops(ei, num_nodes=N)[0], None)
+    )
+    adj = graphs.build_adjacency(
+        data_ei, None if w is None else jnp.asarray(w), num_nodes=N
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, args.classes, N), jnp.int32)
+
+    key = jax.random.PRNGKey(0)
+    if args.model == "gcn":
+        model = GCN(F, args.hidden, args.classes, key=key, dropout=0.0)
+    elif args.model == "sage":
+        model = GraphSAGE(F, args.hidden, args.classes, key=key, dropout=0.0)
+    else:
+        model = GAT(F, 32, args.classes, key=key, heads=8, dropout=0.0)
+
+    params, static = nn.partition(model)
+    opt = optim.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = nn.combine(p, static)(x, adj)
+            return nn.cross_entropy(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        return optim.apply_updates(params, upd), opt_state, loss
+
+    iters = 3 if args.quick else 10
+    dt = time_fn(lambda p, o: step(p, o)[0], params, opt_state, iters=iters)
+    layers = getattr(model, "num_layers", 2)
+    print(
+        json.dumps(
+            {
+                "bench": f"e2e_epoch[{args.model}]",
+                "epoch_ms": round(dt * 1e3, 2),
+                "edges_per_s": round(adj.num_edges * layers / dt, 1),
+                "num_edges": adj.num_edges,
+                "layers": layers,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,11 @@ def build_adjacency(
     if dst.size and (dst.min() < 0 or dst.max() >= num_dst_nodes):
         raise ValueError("edge destination ids out of range")
 
+    # Keep weights on the HOST for the whole build: a device->host readback
+    # through the proxied backend is catastrophically slow, and every prep
+    # step here is numpy. One device transfer happens at the very end.
+    w_host = None if edge_weight is None else np.asarray(edge_weight, np.float32)
+
     # Sort by destination (stable in source) for sorted-segment aggregation.
     # O(E + N) native counting sort when the C++ graph-core is available
     # (gnn_tpu/native), numpy lexsort otherwise.
@@ -179,8 +184,8 @@ def build_adjacency(
         t_row_ptr = np.zeros(num_src_nodes + 1, dtype=np.int64)
         np.add.at(t_row_ptr, src + 1, 1)
         t_row_ptr = np.cumsum(t_row_ptr)
-    if edge_weight is not None:
-        edge_weight = jnp.asarray(np.asarray(edge_weight)[order])
+    if w_host is not None:
+        w_host = w_host[order]
 
     # Scatter-free ELL fast-path layout (see ell.py). "auto": build it for
     # anything beyond toy size; tiny graphs stay on the segment path.
@@ -189,14 +194,13 @@ def build_adjacency(
         layout = "ell" if num_edges >= 2048 else "csr"
     ell = t_ell = None
     if layout == "ell":
-        w_np = None if edge_weight is None else np.asarray(edge_weight)
         ell = build_ell(
             row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
-            edge_weight=w_np,
+            edge_weight=w_host,
         )
         t_ell = build_ell(
             t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
-            edge_weight=w_np,
+            edge_weight=w_host,
         )
     elif layout != "csr":
         raise ValueError(f"unknown layout '{layout}' (expected auto/ell/csr)")
@@ -209,12 +213,12 @@ def build_adjacency(
         t_chunk_plan = build_chunk_plan(src[t_perm], num_src_nodes)
 
     return Adjacency(
-        src=jnp.asarray(src, jnp.int32),
-        dst=jnp.asarray(dst, jnp.int32),
-        row_ptr=jnp.asarray(row_ptr, jnp.int32),
-        weight=edge_weight,
-        t_perm=jnp.asarray(t_perm, jnp.int32),
-        t_row_ptr=jnp.asarray(t_row_ptr, jnp.int32),
+        src=jnp.asarray(np.asarray(src, np.int32)),
+        dst=jnp.asarray(np.asarray(dst, np.int32)),
+        row_ptr=jnp.asarray(np.asarray(row_ptr, np.int32)),
+        weight=None if w_host is None else jnp.asarray(w_host),
+        t_perm=jnp.asarray(np.asarray(t_perm, np.int32)),
+        t_row_ptr=jnp.asarray(np.asarray(t_row_ptr, np.int32)),
         ell=ell,
         t_ell=t_ell,
         chunk_plan=chunk_plan,

@@ -139,10 +139,13 @@ def build_ell(
         )
         blocks.append(
             EllBlock(
-                col=jnp.asarray(cols, jnp.int32),
-                slot_to_edge=jnp.asarray(edge_ids, jnp.int32),
-                rows=jnp.asarray(nodes_b, jnp.int32),
-                w=jnp.asarray(w_b),
+                # dtype casts happen in numpy: an on-device cast is a
+                # separate remotely-compiled executable per shape (~0.3 s
+                # each through the axon tunnel)
+                col=jnp.asarray(np.asarray(cols, np.int32)),
+                slot_to_edge=jnp.asarray(np.asarray(edge_ids, np.int32)),
+                rows=jnp.asarray(np.asarray(nodes_b, np.int32)),
+                w=jnp.asarray(np.asarray(w_b, np.float32)),
                 k=int(k),
             )
         )
@@ -177,10 +180,10 @@ def build_ell(
 
     return EllLayout(
         blocks=tuple(blocks),
-        inv_light=jnp.asarray(inv_light, jnp.int32),
-        heavy_ids=jnp.asarray(heavy_ids_arr, jnp.int32),
-        heavy_slots=jnp.asarray(heavy_slots, jnp.int32),
-        edge_to_slot=jnp.asarray(edge_to_slot, jnp.int32),
+        inv_light=jnp.asarray(np.asarray(inv_light, np.int32)),
+        heavy_ids=jnp.asarray(np.asarray(heavy_ids_arr, np.int32)),
+        heavy_slots=jnp.asarray(np.asarray(heavy_slots, np.int32)),
+        edge_to_slot=jnp.asarray(np.asarray(edge_to_slot, np.int32)),
         num_rows_total=int(total_rows),
         num_nodes=int(num_nodes),
         num_edges=int(num_edges),

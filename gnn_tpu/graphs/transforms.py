@@ -93,8 +93,14 @@ def coalesce(
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Sort by (dst, src) and merge duplicate edges (summing weights)."""
     ei = _as_np(edge_index)
-    src, dst = ei[0], ei[1]
-    order = np.lexsort((src, dst))
+    src, dst = ei[0].astype(np.int64), ei[1].astype(np.int64)
+    if num_nodes is not None and src.size:
+        # O(E+N) native counting sort when available (gnn_tpu.native).
+        from gnn_tpu import native
+
+        order, _ = native.sort_edges_csr(src, dst, num_nodes)
+    else:
+        order = np.lexsort((src, dst))
     src, dst = src[order], dst[order]
     key = np.stack([dst, src], axis=1)
     uniq_mask = np.ones(len(src), bool)
@@ -143,10 +149,10 @@ def degree(
     if num_nodes is None:
         num_nodes = int(ei.max()) + 1 if ei.size else 0
     nodes = ei[1] if kind == "in" else ei[0]
-    deg = np.zeros(num_nodes, np.float64)
-    w = np.ones(ei.shape[1]) if edge_weight is None else np.asarray(edge_weight)
-    np.add.at(deg, nodes, w)
-    return deg
+    from gnn_tpu import native
+
+    w = None if edge_weight is None else np.asarray(edge_weight, np.float32)
+    return native.degrees(nodes, num_nodes, w)
 
 
 def gcn_norm(

@@ -103,10 +103,10 @@ def build_chunk_plan(
         windows.append(n_windows - 1)
         firsts.append(0)
     return ChunkPlan(
-        start=jnp.asarray(starts, jnp.int32),
+        start=jnp.asarray(np.asarray(starts, np.int32)),
         local=jnp.asarray(np.stack(locals_)),
-        window=jnp.asarray(windows, jnp.int32),
-        first=jnp.asarray(firsts, jnp.int32),
+        window=jnp.asarray(np.asarray(windows, np.int32)),
+        first=jnp.asarray(np.asarray(firsts, np.int32)),
         num_windows=int(n_windows),
         chunk=C,
         rows=R,

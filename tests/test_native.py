@@ -95,3 +95,16 @@ def test_build_adjacency_uses_native_path(rng):
     np.testing.assert_array_equal(np.asarray(adj.src), src[order])
     np.testing.assert_array_equal(np.asarray(adj.dst), dst[order])
     np.testing.assert_allclose(np.asarray(adj.weight), w[order], rtol=1e-6)
+
+
+def test_coalesce_uses_native_and_matches(rng):
+    from gnn_tpu import graphs
+
+    n, e = 100, 1000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    out_n, w_n = graphs.coalesce(np.stack([src, dst]), w, num_nodes=n)
+    out_p, w_p = graphs.coalesce(np.stack([src, dst]), w)  # lexsort path
+    np.testing.assert_array_equal(out_n, out_p)
+    np.testing.assert_allclose(w_n, w_p, rtol=1e-6)
