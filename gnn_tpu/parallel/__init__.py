@@ -7,6 +7,7 @@ no parallelism at all (SURVEY.md §2 parallelism inventory).
 from gnn_tpu.parallel.mesh import make_mesh, replicated, shard, P, Mesh, NamedSharding
 from gnn_tpu.parallel.partition import DistGraph, partition_graph
 from gnn_tpu.parallel.halo import spmm_dist, shard_node_array
+from gnn_tpu.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -19,4 +20,5 @@ __all__ = [
     "partition_graph",
     "spmm_dist",
     "shard_node_array",
+    "multihost",
 ]

@@ -49,6 +49,56 @@ def spmm_dist(
     if x_sh.ndim != 2:
         raise ValueError(f"spmm_dist expects [P*n_max, F], got {x_sh.shape}")
 
+    if dist.halo == "alltoall":
+        n_parts = dist.num_parts
+
+        def exchange(v_local, send_idx):
+            """Targeted halo: send each peer exactly the rows it needs."""
+            send = jnp.take(v_local, send_idx[0], axis=0)  # [P, H, F]
+            if n_parts == 1:
+                recv = send
+            else:
+                recv = jax.lax.all_to_all(
+                    send, axis_name, split_axis=0, concat_axis=0, tiled=False
+                )
+            return jnp.concatenate(
+                [v_local, recv.reshape(-1, v_local.shape[1])], axis=0
+            )
+
+        @jax.custom_vjp
+        def local(x_local, ell, t_ell, send_idx, t_send_idx):
+            return _ell_matvec(_strip(ell), exchange(x_local, send_idx))
+
+        def local_fwd(x_local, ell, t_ell, send_idx, t_send_idx):
+            return local(x_local, ell, t_ell, send_idx, t_send_idx), (
+                ell,
+                t_ell,
+                send_idx,
+                t_send_idx,
+            )
+
+        def local_bwd(res, g):
+            ell, t_ell, send_idx, t_send_idx = res
+            dx = _ell_matvec(_strip(t_ell), exchange(g, t_send_idx))
+            return dx, None, None, None, None
+
+        local.defvjp(local_fwd, local_bwd)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(axis_name, None),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+                P(axis_name),
+            ),
+            out_specs=P(axis_name, None),
+            axis_names={axis_name},
+        )
+        return fn(x_sh, dist.ell, dist.t_ell, dist.send_idx, dist.t_send_idx)
+
     @jax.custom_vjp
     def local(x_local, ell, t_ell):
         x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)

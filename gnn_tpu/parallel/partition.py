@@ -135,11 +135,15 @@ class DistGraph(Module):
 
     ell: EllLayout
     t_ell: EllLayout
+    send_idx: Optional[jax.Array]  # [P, P, H] rows chip p sends to chip q
+    t_send_idx: Optional[jax.Array]  # same for the backward (cotangents)
     num_parts: int = static_field(default=1)
     n_max: int = static_field(default=0)  # owned nodes per chip (padded)
     num_nodes: int = static_field(default=0)  # true global node count
     mesh: object = static_field(default=None)  # jax.sharding.Mesh (hashable)
     axis_name: str = static_field(default="data")
+    halo: str = static_field(default="allgather")  # or "alltoall"
+    h_max: int = static_field(default=0)  # padded per-pair halo size
 
     def global_to_padded(self, ids: np.ndarray) -> np.ndarray:
         """Global node id -> position in the padded [P * n_max] layout."""
@@ -164,6 +168,45 @@ class DistGraph(Module):
         return x_sh[: self.num_nodes]
 
 
+def _halo_plan(cols_per_part, P, n_max):
+    """For the targeted exchange: per-(receiver, owner) sorted lists of the
+    remote rows each chip needs, a common padded size H, the [P, P, H]
+    send tables, and per-part column remappers into the local buffer layout
+    [own rows (n_max) | recv slot per peer (H each)]."""
+    need = [[None] * P for _ in range(P)]
+    h = 8
+    for p, cols in enumerate(cols_per_part):
+        own = np.minimum(cols // n_max, P - 1)
+        for q in range(P):
+            if q == p:
+                need[p][q] = np.zeros(0, np.int64)
+                continue
+            need[p][q] = np.unique(cols[own == q])
+            h = max(h, len(need[p][q]))
+    h = ((h + 7) // 8) * 8
+    send = np.zeros((P, P, h), np.int64)  # send[owner, receiver]
+    for p in range(P):
+        for q in range(P):
+            if q == p:
+                continue
+            rows = need[p][q] - q * n_max  # local on owner q
+            send[q, p, : len(rows)] = rows
+
+    def remap(p, cols):
+        out = np.empty(len(cols), np.int64)
+        own = np.minimum(cols // n_max, P - 1)
+        for q in range(P):
+            m = own == q
+            if q == p:
+                out[m] = cols[m] - p * n_max
+            else:
+                pos = np.searchsorted(need[p][q], cols[m])
+                out[m] = n_max + q * h + pos
+        return out
+
+    return send, h, remap
+
+
 def partition_graph(
     edge_index,
     edge_weight=None,
@@ -172,16 +215,24 @@ def partition_graph(
     num_parts: Optional[int] = None,
     mesh=None,
     axis_name: str = "data",
+    halo: str = "allgather",
 ) -> DistGraph:
     """Partition a COO graph by contiguous node ranges over ``num_parts``.
 
     With the padded layout, owner(g) = g // n_max where
     n_max = ceil(N / P) rounded up to a multiple of 8 (TPU sublane tiling).
+
+    ``halo``: 'allgather' replicates all features per layer (simple, fine
+    within one ICI slice); 'alltoall' exchanges only the boundary rows each
+    chip actually needs (the DCN-scale strategy) — edge columns are then
+    remapped into the per-chip buffer layout [own | per-peer recv slots].
     """
     if num_parts is None:
         if mesh is None:
             raise ValueError("pass num_parts or a mesh")
         num_parts = mesh.shape[axis_name]
+    if halo not in ("allgather", "alltoall"):
+        raise ValueError(f"unknown halo mode '{halo}'")
     ei = np.asarray(edge_index)
     src, dst = ei[0].astype(np.int64), ei[1].astype(np.int64)
     w = None if edge_weight is None else np.asarray(edge_weight, np.float32)
@@ -189,65 +240,89 @@ def partition_graph(
     n_max = -(-num_nodes // P)
     n_max = ((n_max + 7) // 8) * 8  # sublane-align owned ranges
 
-    def owner(ids):
-        return np.minimum(ids // n_max, P - 1)
-
-    # Padded-global position of a node (identity here because ranges are
-    # contiguous with stride n_max).
-    def padded_pos(ids):
-        return ids
-
-    fwd_ells = []
-    bwd_ells = []
+    # Collect per-part sorted local edge lists first.
+    fwd_parts, bwd_parts = [], []
     for p in range(P):
         lo, hi = p * n_max, min((p + 1) * n_max, num_nodes)
-        # Forward: in-edges of owned dst nodes.
-        m = (dst >= lo) & (dst < hi)
+        m = (dst >= lo) & (dst < hi)  # forward: in-edges of owned dst
         s_p, d_p = src[m], dst[m] - lo
         w_p = None if w is None else w[m]
         order = np.lexsort((s_p, d_p))
-        s_p, d_p = s_p[order], d_p[order]
-        w_p = None if w_p is None else w_p[order]
-        row_ptr = np.zeros(n_max + 1, np.int64)
-        np.add.at(row_ptr, d_p + 1, 1)
-        row_ptr = np.cumsum(row_ptr)
-        fwd_ells.append(
-            build_ell(
-                row_ptr,
-                padded_pos(s_p),
-                np.arange(len(s_p)),
-                n_max,
-                len(s_p),
-                edge_weight=w_p,
-            )
+        fwd_parts.append(
+            (s_p[order], d_p[order], None if w_p is None else w_p[order])
         )
-        # Backward: out-edges of owned src nodes (rows of A^T).
-        m = (src >= lo) & (src < hi)
+        m = (src >= lo) & (src < hi)  # backward: out-edges of owned src
         s_p, d_p = src[m] - lo, dst[m]  # A^T: row = src, col = dst
         w_p = None if w is None else w[m]
         order = np.lexsort((d_p, s_p))
-        s_p, d_p = s_p[order], d_p[order]
-        w_p = None if w_p is None else w_p[order]
-        row_ptr = np.zeros(n_max + 1, np.int64)
-        np.add.at(row_ptr, s_p + 1, 1)
-        row_ptr = np.cumsum(row_ptr)
-        bwd_ells.append(
-            build_ell(
-                row_ptr,
-                padded_pos(d_p),
-                np.arange(len(d_p)),
-                n_max,
-                len(d_p),
-                edge_weight=w_p,
-            )
+        bwd_parts.append(
+            (d_p[order], s_p[order], None if w_p is None else w_p[order])
         )
+
+    send_idx = t_send_idx = None
+    h_max = 0
+    if halo == "alltoall":
+        send_f, h_f, remap_f = _halo_plan([c for c, _, _ in fwd_parts], P, n_max)
+        send_b, h_b, remap_b = _halo_plan([c for c, _, _ in bwd_parts], P, n_max)
+        h_max = max(h_f, h_b)
+        # Re-plan with a common H so both directions share buffer geometry.
+        if h_f != h_max:
+            send_f = np.pad(send_f, ((0, 0), (0, 0), (0, h_max - h_f)))
+        if h_b != h_max:
+            send_b = np.pad(send_b, ((0, 0), (0, 0), (0, h_max - h_b)))
+
+        def scale(remap, h_dir):
+            # remap used n_max + q*h_dir + pos; convert to common h_max
+            def f(p, cols):
+                out = remap(p, cols)
+                is_halo = out >= n_max
+                q = (out - n_max) // h_dir
+                pos = (out - n_max) % h_dir
+                out = np.where(is_halo, n_max + q * h_max + pos, out)
+                return out
+
+            return f
+
+        remap_f = scale(remap_f, h_f)
+        remap_b = scale(remap_b, h_b)
+        send_idx = jnp.asarray(np.asarray(send_f, np.int32))
+        t_send_idx = jnp.asarray(np.asarray(send_b, np.int32))
+        n_src_coord = n_max + P * h_max
+    else:
+        remap_f = remap_b = lambda p, cols: cols  # padded-global coords
+        n_src_coord = P * n_max
+
+    fwd_ells, bwd_ells = [], []
+    for p in range(P):
+        for parts, remap, out in (
+            (fwd_parts, remap_f, fwd_ells),
+            (bwd_parts, remap_b, bwd_ells),
+        ):
+            cols, rows, w_p = parts[p]
+            row_ptr = np.zeros(n_max + 1, np.int64)
+            np.add.at(row_ptr, rows + 1, 1)
+            row_ptr = np.cumsum(row_ptr)
+            out.append(
+                build_ell(
+                    row_ptr,
+                    remap(p, cols),
+                    np.arange(len(cols)),
+                    n_max,
+                    len(cols),
+                    edge_weight=w_p,
+                )
+            )
 
     return DistGraph(
         ell=_pad_stack_ells(fwd_ells, n_max),
         t_ell=_pad_stack_ells(bwd_ells, n_max),
+        send_idx=send_idx,
+        t_send_idx=t_send_idx,
         num_parts=P,
         n_max=int(n_max),
         num_nodes=int(num_nodes),
         mesh=mesh,
         axis_name=axis_name,
+        halo=halo,
+        h_max=int(h_max),
     )
