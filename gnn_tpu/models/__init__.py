@@ -7,5 +7,6 @@ cover the BASELINE.json configs.
 from gnn_tpu.models.gcn import GCN, EncoderGCN
 from gnn_tpu.models.sage import GraphSAGE
 from gnn_tpu.models.gat import GAT
+from gnn_tpu.models.gin import GIN
 
-__all__ = ["GCN", "EncoderGCN", "GraphSAGE", "GAT"]
+__all__ = ["GCN", "EncoderGCN", "GraphSAGE", "GAT", "GIN"]

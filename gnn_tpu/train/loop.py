@@ -19,7 +19,7 @@ import numpy as np
 from gnn_tpu import nn, optim
 from gnn_tpu.graphs.data import Data
 from gnn_tpu.graphs.sampling import NeighborSampler
-from gnn_tpu.models import GAT, GCN, EncoderGCN, GraphSAGE
+from gnn_tpu.models import GAT, GCN, GIN, EncoderGCN, GraphSAGE
 from gnn_tpu.train.config import Config
 from gnn_tpu.train.metrics import MetricLogger, Throughput
 
@@ -42,6 +42,10 @@ def build_model(cfg: Config, in_features: int, num_classes: int, key):
         return GAT(
             in_features, m.hidden, num_classes, key=key,
             num_layers=m.num_layers, heads=m.heads, dropout=m.dropout,
+        )
+    if m.name == "gin":
+        return GIN(
+            in_features, m.hidden, num_classes, key=key, num_layers=m.num_layers
         )
     if m.name == "encoder_gcn":
         return EncoderGCN(

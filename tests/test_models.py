@@ -123,3 +123,17 @@ def test_train_step_deterministic():
     g1, g2 = one(7), one(7)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gin_graph_level_readout():
+    """Graph classification over a Batch (sum readout per graph)."""
+    from gnn_tpu.models import GIN
+
+    g1 = stochastic_block_model(num_nodes=20, num_classes=2, seed=31)
+    g2 = stochastic_block_model(num_nodes=25, num_classes=2, seed=32)
+    batch = graphs.Batch([g1, g2])
+    adj = batch.to_adjacency(norm=None, add_self_loops=False)
+    model = GIN(16, 8, 3, key=KEY)
+    out = model(batch.x, adj, graph_id=batch.graph_id, num_graphs=2)
+    assert out.shape == (2, 3)
+    assert np.isfinite(np.asarray(out)).all()

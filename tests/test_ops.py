@@ -274,3 +274,44 @@ def test_ell_matches_segment_backend(rng):
         rtol=1e-4,
         atol=1e-4,
     )
+
+
+# -- robustness: extreme degree distributions -------------------------------
+
+
+def test_ell_star_graph(rng):
+    """Star: one node receives from everyone (deg N-1), others deg<=1."""
+    n = 2000
+    src = np.arange(1, n)
+    dst = np.zeros(n - 1, np.int64)
+    ei = np.stack([src, dst])
+    adj = graphs.build_adjacency(ei, num_nodes=n, layout="ell")
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    out = np.asarray(ops.spmm(adj, x))
+    np.testing.assert_allclose(out[0], np.asarray(x)[1:].sum(0), rtol=1e-3)
+    np.testing.assert_allclose(out[1:], 0.0, atol=1e-6)
+    # backward through the heavy split path
+    g = jax.grad(lambda x: jnp.sum(ops.spmm(adj, x)[0]))(x)
+    np.testing.assert_allclose(np.asarray(g)[1:], 1.0, rtol=1e-4)
+
+
+def test_ell_chain_graph(rng):
+    """Path graph: every in-degree exactly 1 (all in the K=1 bucket)."""
+    n = 4096
+    ei = np.stack([np.arange(n - 1), np.arange(1, n)])
+    adj = graphs.build_adjacency(ei, num_nodes=n, layout="ell")
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    out = np.asarray(ops.spmm(adj, x))
+    np.testing.assert_allclose(out[1:], np.asarray(x)[:-1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[0], 0.0)
+
+
+def test_self_loop_only_graph(rng):
+    n = 64
+    ei = np.stack([np.arange(n), np.arange(n)])
+    w = rng.normal(size=n).astype(np.float32)
+    adj = graphs.build_adjacency(ei, w, num_nodes=n, layout="ell")
+    x = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    np.testing.assert_allclose(
+        ops.spmm(adj, x), w[:, None] * np.asarray(x), rtol=1e-4, atol=1e-5
+    )

@@ -125,3 +125,10 @@ def test_karate_dataset():
     assert d.num_nodes == 34
     assert d.num_edges == 156  # 78 undirected
     assert int(np.asarray(d.y).sum()) > 0
+
+
+def test_fit_gin_model():
+    data = load_dataset("sbm", num_nodes=150, seed=10)
+    cfg = small_cfg(**{"model.name": "gin", "train.epochs": 40})
+    model, state, history = fit(cfg, data, verbose=False)
+    assert history[-1]["test_acc"] > 0.7
