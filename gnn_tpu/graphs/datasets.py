@@ -137,13 +137,13 @@ def load_planetoid(name: str, root: str = "data") -> Data:
     train_mask = np.zeros(n, bool)
     val_mask = np.zeros(n, bool)
     test_mask = np.zeros(n, bool)
-    ntrain = {"cora": 140, "citeseer": 120, "pubmed": 60}[name]
+    ntrain = min({"cora": 140, "citeseer": 120, "pubmed": 60}[name], max(n // 4, 1))
     train_mask[:ntrain] = True
-    val_mask[ntrain : ntrain + 500] = True
+    val_mask[ntrain : min(ntrain + 500, n)] = True
     test_mask[test_idx] = True
 
     return Data(
-        x=perm_features,
+        x=features,
         edge_index=ei,
         y=labels,
         num_nodes=n,

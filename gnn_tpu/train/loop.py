@@ -95,9 +95,15 @@ def fit(
     data: Data,
     *,
     model=None,
+    resume: bool = False,
     verbose: bool = True,
 ) -> Tuple[object, Optional[nn.State], list]:
-    """Train per config. Returns (trained model, buffer state, history)."""
+    """Train per config. Returns (trained model, buffer state, history).
+
+    ``resume=True`` restores model/optimizer/buffers from the latest
+    checkpoint in ``cfg.train.checkpoint_dir`` (if one exists) and
+    continues — the crash-recovery capability the reference has no analog
+    for (SURVEY.md §5: "Checkpoint / resume: ABSENT")."""
     key = jax.random.PRNGKey(cfg.train.seed)
     key, mkey = jax.random.split(key)
     num_classes = int(np.asarray(data.y).max()) + 1
@@ -111,10 +117,16 @@ def fit(
     logger = MetricLogger(cfg.train.log_file, echo=verbose)
 
     ckpt = None
+    start_epoch = 0
     if cfg.train.checkpoint_dir:
         from gnn_tpu.train.checkpoint import Checkpointer
 
         ckpt = Checkpointer(cfg.train.checkpoint_dir)
+        if resume and ckpt.latest_step() is not None:
+            model2 = nn.combine(params, static)
+            model2, opt_state, state, _ = ckpt.restore(model2, opt_state, state)
+            params, static = nn.partition(model2)
+            start_epoch = int(ckpt.latest_step())
 
     sampled = cfg.train.batch_size > 0
     if sampled:
@@ -153,7 +165,7 @@ def fit(
     rng_np = np.random.default_rng(cfg.train.seed)
     thr = Throughput(data.num_edges)
     thr.start()
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(start_epoch, cfg.train.epochs):
         key, k = jax.random.split(key)
         if sampled:
             seeds = jnp.asarray(

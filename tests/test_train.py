@@ -132,3 +132,37 @@ def test_fit_gin_model():
     cfg = small_cfg(**{"model.name": "gin", "train.epochs": 40})
     model, state, history = fit(cfg, data, verbose=False)
     assert history[-1]["test_acc"] > 0.7
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    """Interrupted training resumes from the latest checkpoint."""
+    data = load_dataset("sbm", num_nodes=120, seed=12)
+    ckdir = str(tmp_path / "ck")
+    cfg1 = small_cfg(
+        **{
+            "train.epochs": 10,
+            "train.checkpoint_dir": ckdir,
+            "train.eval_every": 5,
+        }
+    )
+    m1, _, _ = fit(cfg1, data, verbose=False)
+
+    # resume with a larger budget; must pick up at epoch 10, not restart
+    cfg2 = small_cfg(
+        **{
+            "train.epochs": 20,
+            "train.checkpoint_dir": ckdir,
+            "train.eval_every": 5,
+        }
+    )
+    m2, _, hist = fit(cfg2, data, resume=True, verbose=False)
+    assert len(hist) <= 2  # only epochs 10..20 evaluated
+    # resumed model differs from the checkpointed one (training continued)
+    import numpy as np
+    from gnn_tpu import nn
+
+    d1 = nn.state_dict(m1)
+    d2 = nn.state_dict(m2)
+    assert any(
+        not np.allclose(np.asarray(d1[k]), np.asarray(d2[k])) for k in d1
+    )
