@@ -62,11 +62,13 @@ def main():
         f = jax.jit(lambda x, b=backend: spmm(adj, x, backend=b))
         emit(f"spmm_fwd[{backend}]", time_fn(f, x, iters=iters), E)
 
-    # SpMM fwd + dx (GCN training work)
+    # SpMM fwd + dx (GCN training work). Quadratic loss: grad(sum(spmm(x)))
+    # is constant in x, so XLA dead-codes the forward pass entirely
+    # (docs/PERF.md "Honest measurement").
     for backend in ("ell", "segment"):
         f = jax.jit(
             lambda x, b=backend: jax.grad(
-                lambda x: jnp.sum(spmm(adj, x, backend=b))
+                lambda x: 0.5 * jnp.sum(spmm(adj, x, backend=b) ** 2)
             )(x)
         )
         emit(f"spmm_fwd_bwd[{backend}]", time_fn(f, x, iters=iters), E)

@@ -137,6 +137,7 @@ def build_adjacency(
     num_src_nodes: Optional[int] = None,
     num_dst_nodes: Optional[int] = None,
     layout: str = "auto",
+    ell_buckets=None,
 ) -> Adjacency:
     """Prepare an :class:`Adjacency` from a COO edge list [2, E].
 
@@ -194,13 +195,16 @@ def build_adjacency(
         layout = "ell" if num_edges >= 2048 else "csr"
     ell = t_ell = None
     if layout == "ell":
+        from gnn_tpu.graphs.ell import DEFAULT_BUCKETS
+
+        bk = DEFAULT_BUCKETS if ell_buckets is None else tuple(ell_buckets)
         ell = build_ell(
             row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
-            edge_weight=w_host,
+            buckets=bk, edge_weight=w_host,
         )
         t_ell = build_ell(
             t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
-            edge_weight=w_host,
+            buckets=bk, edge_weight=w_host,
         )
     elif layout != "csr":
         raise ValueError(f"unknown layout '{layout}' (expected auto/ell/csr)")

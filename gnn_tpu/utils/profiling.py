@@ -25,7 +25,13 @@ __all__ = ["time_fn", "trace", "Roofline", "TPU_V5E"]
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
-    """Median-free simple timing: seconds per call, fully synchronized."""
+    """Median-free simple timing: seconds per call, fully synchronized.
+
+    CAUTION: timing is only as honest as ``fn``'s dataflow. XLA hoists
+    loop-invariant work, rewrites slice(gather), and eliminates dead code
+    — e.g. ``grad(sum(spmm(x)))`` is constant in x and its forward pass
+    vanishes. See docs/PERF.md "Honest measurement" for countermeasures.
+    """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
