@@ -128,3 +128,70 @@ def test_grad_through_pallas_segment_sum(rng):
         np.testing.assert_allclose(
             np.asarray(g_auto)[:, 0], expected, rtol=1e-4, atol=1e-4
         )
+
+
+# -- Pallas SpMM backend (gather in XLA + one-hot MXU reduce) ---------------
+
+
+def _random_graph_adj(rng, n=800, e=6000):
+    from gnn_tpu import graphs
+
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei = np.stack([src, dst]).astype(np.int64)
+    w = rng.normal(size=e).astype(np.float32)
+    return graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=n), ei, w
+
+
+def test_spmm_pallas_matches_dense(rng):
+    from gnn_tpu.ops import spmm
+    from gnn_tpu.ops.pallas.spmm import spmm_pallas
+
+    adj, ei, w = _random_graph_adj(rng)
+    n = adj.num_dst_nodes
+    x = rng.normal(size=(n, 64)).astype(np.float32)
+    dense = np.zeros((n, n), np.float32)
+    # duplicate edges accumulate, matching SpMM semantics
+    np.add.at(dense, (np.asarray(adj.dst), np.asarray(adj.src)),
+              np.asarray(adj.weight))
+    out = spmm_pallas(adj, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), dense @ x, rtol=2e-4, atol=2e-4)
+    # the public dispatch reaches the same path
+    out2 = spmm(adj, jnp.asarray(x), backend="pallas")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-6)
+
+
+def test_spmm_pallas_grads_match_segment_backend(rng):
+    from gnn_tpu.ops import spmm
+    from gnn_tpu.ops.pallas.spmm import spmm_pallas
+
+    adj, ei, w = _random_graph_adj(rng)
+    n = adj.num_dst_nodes
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+
+    def loss_pallas(x, weight):
+        return jnp.sum(spmm_pallas(adj.replace(weight=weight), x,
+                                   interpret=True) * ct)
+
+    def loss_seg(x, weight):
+        return jnp.sum(
+            spmm(adj.replace(weight=weight), x, backend="segment") * ct
+        )
+
+    dx_p, dw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, adj.weight)
+    dx_s, dw_s = jax.grad(loss_seg, argnums=(0, 1))(x, adj.weight)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_s),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_p), np.asarray(dw_s),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_pallas_requires_chunk_plan(rng):
+    from gnn_tpu import graphs
+    from gnn_tpu.ops.pallas.spmm import spmm_pallas
+
+    ei = np.stack([rng.integers(0, 50, 100), rng.integers(0, 50, 100)])
+    adj = graphs.build_adjacency(ei, num_nodes=50, layout="csr")
+    with pytest.raises(ValueError, match="chunk plan"):
+        spmm_pallas(adj, jnp.zeros((50, 8)))
