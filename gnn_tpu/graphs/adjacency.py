@@ -195,16 +195,20 @@ def build_adjacency(
         layout = "ell" if num_edges >= 2048 else "csr"
     ell = t_ell = None
     if layout == "ell":
-        from gnn_tpu.graphs.ell import DEFAULT_BUCKETS
+        from gnn_tpu.graphs.ell import optimal_buckets
 
-        bk = DEFAULT_BUCKETS if ell_buckets is None else tuple(ell_buckets)
+        # Default: per-direction degree-adaptive widths (exact min-padding
+        # DP) — the in- and out-degree distributions generally differ.
+        bk = None if ell_buckets is None else tuple(ell_buckets)
         ell = build_ell(
             row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
-            buckets=bk, edge_weight=w_host,
+            buckets=bk or optimal_buckets(np.diff(row_ptr)),
+            edge_weight=w_host,
         )
         t_ell = build_ell(
             t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
-            buckets=bk, edge_weight=w_host,
+            buckets=bk or optimal_buckets(np.diff(t_row_ptr)),
+            edge_weight=w_host,
         )
     elif layout != "csr":
         raise ValueError(f"unknown layout '{layout}' (expected auto/ell/csr)")

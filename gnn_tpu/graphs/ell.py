@@ -34,9 +34,70 @@ import numpy as np
 
 from gnn_tpu.nn.module import Module, static_field
 
-__all__ = ["EllBlock", "EllLayout", "build_ell"]
+__all__ = ["EllBlock", "EllLayout", "build_ell", "optimal_buckets"]
 
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def optimal_buckets(
+    deg: np.ndarray, max_blocks: int = 10, kmax: int = 512
+) -> Tuple[int, ...]:
+    """Degree-adaptive bucket widths minimizing total padded slots.
+
+    Power-of-2 widths guarantee <=2x padding per node but measured +36% total
+    slots on the arxiv-scale power-law workload — and slot gathers are the
+    binding cost of the ELL SpMM (docs/PERF.md). The optimal <=B-width bucket
+    set is computable exactly: pad(S) depends only on which width each
+    remainder maps to, an optimal S uses only widths equal to some remainder
+    value, and the 1-D structure gives an O(B·D²) interval DP over the D
+    distinct remainder values (D < kmax). B=10 keeps XLA fusion count — the
+    measured per-block overhead regime — identical to DEFAULT_BUCKETS.
+    """
+    deg = np.asarray(deg, np.int64)
+    deg = deg[deg > 0]
+    if deg.size == 0:
+        return (1,)
+    kmax = int(min(kmax, deg.max()))
+    # Candidate widths are restricted to sublane-friendly values: measured
+    # on-chip, K in {1,8,16,32,...} gathers at the full index rate while
+    # unaligned K is substantially slower (docs/PERF.md) — width-11/19/29
+    # buckets lost more per-slot speed than their padding savings bought.
+    allowed = np.asarray(
+        sorted({1, 2, 4} | set(range(8, max(kmax, 8) + 8, 8))), np.int64
+    )
+    kmax = int(allowed[np.searchsorted(allowed, kmax)])
+    rem = deg % kmax  # deg == kmax -> a full (pad-free) kmax piece
+    rem = rem[rem > 0]
+    if rem.size == 0:
+        return (kmax,)
+    # Any chosen set is a subset of `allowed`, so each remainder's width is
+    # at least the next allowed value: round up first, then DP as before.
+    rem = allowed[np.searchsorted(allowed, rem)]
+    vals, counts = np.unique(rem, return_counts=True)
+    D = len(vals)
+    # Reserve one block for the kmax split width (always present so nodes
+    # with degree > kmax have a home; it costs nothing if unused).
+    B = max(1, min(max_blocks - 1, D))
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    INF = np.iinfo(np.int64).max // 4
+    # dp[b][i]: min slots covering vals[:i+1] with b widths, vals[i] chosen
+    # (the largest width must be a chosen one, so answers sit at i = D-1).
+    dp = np.full((B + 1, D), INF, np.int64)
+    arg = np.zeros((B + 1, D), np.int64)
+    dp[1] = vals * csum[1:]
+    for b in range(2, B + 1):
+        prev = dp[b - 1]
+        for i in range(b - 1, D):
+            # dp[b-1][j] + vals[i] * (csum[i+1] - csum[j+1]) over j < i
+            cand = prev[:i] + vals[i] * (csum[i + 1] - csum[1 : i + 1])
+            j = int(np.argmin(cand))
+            dp[b][i], arg[b][i] = cand[j], j
+    b_best = int(np.argmin(dp[1:, D - 1])) + 1
+    chosen, i = [], D - 1
+    for b in range(b_best, 0, -1):
+        chosen.append(int(vals[i]))
+        i = int(arg[b][i])
+    return tuple(sorted(set(chosen) | {kmax}))
 
 
 class EllBlock(Module):

@@ -49,6 +49,63 @@ def spmm_dist(
     if x_sh.ndim != 2:
         raise ValueError(f"spmm_dist expects [P*n_max, F], got {x_sh.shape}")
 
+    if dist.halo == "overlap":
+        # v3: targeted all_to_all + local/remote edge split. The local ELL
+        # matvec reads only x_local and is independent of the collective, so
+        # XLA's latency-hiding scheduler runs it while the exchange is in
+        # flight; the remote ELL then consumes the recv buffer directly
+        # (coords q*h_max + pos — no concat with x_local needed).
+        n_parts = dist.num_parts
+
+        def exchange_rem(v_local, send_idx):
+            send = jnp.take(v_local, send_idx[0], axis=0)  # [P, H, F]
+            if n_parts == 1:
+                recv = send
+            else:
+                recv = jax.lax.all_to_all(
+                    send, axis_name, split_axis=0, concat_axis=0, tiled=False
+                )
+            return recv.reshape(-1, v_local.shape[1])  # [P*H, F]
+
+        @jax.custom_vjp
+        def local(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx):
+            recv = exchange_rem(x_local, send_idx)  # issued first: overlaps
+            out = _ell_matvec(_strip(ell), x_local)  # ...with this
+            return out + _ell_matvec(_strip(rem), recv)
+
+        def local_fwd(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx):
+            return (
+                local(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx),
+                (t_ell, t_rem, t_send_idx),
+            )
+
+        def local_bwd(res, g):
+            t_ell, t_rem, t_send_idx = res
+            recv = exchange_rem(g, t_send_idx)
+            dx = _ell_matvec(_strip(t_ell), g) + _ell_matvec(
+                _strip(t_rem), recv
+            )
+            return dx, None, None, None, None, None, None
+
+        local.defvjp(local_fwd, local_bwd)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name, None),) + (P(axis_name),) * 6,
+            out_specs=P(axis_name, None),
+            axis_names={axis_name},
+        )
+        return fn(
+            x_sh,
+            dist.ell,
+            dist.ell_rem,
+            dist.t_ell,
+            dist.t_ell_rem,
+            dist.send_idx,
+            dist.t_send_idx,
+        )
+
     if dist.halo == "alltoall":
         n_parts = dist.num_parts
 

@@ -137,6 +137,10 @@ class DistGraph(Module):
     t_ell: EllLayout
     send_idx: Optional[jax.Array]  # [P, P, H] rows chip p sends to chip q
     t_send_idx: Optional[jax.Array]  # same for the backward (cotangents)
+    # halo='overlap' only: per-chip edges split by source owner so the
+    # local aggregation runs concurrently with the all_to_all in flight.
+    ell_rem: Optional[EllLayout] = None  # remote-source in-edges (recv coords)
+    t_ell_rem: Optional[EllLayout] = None  # same for backward
     num_parts: int = static_field(default=1)
     n_max: int = static_field(default=0)  # owned nodes per chip (padded)
     num_nodes: int = static_field(default=0)  # true global node count
@@ -171,8 +175,9 @@ class DistGraph(Module):
 def _halo_plan(cols_per_part, P, n_max):
     """For the targeted exchange: per-(receiver, owner) sorted lists of the
     remote rows each chip needs, a common padded size H, the [P, P, H]
-    send tables, and per-part column remappers into the local buffer layout
-    [own rows (n_max) | recv slot per peer (H each)]."""
+    send tables, per-part column remappers into the local buffer layout
+    [own rows (n_max) | recv slot per peer (H each)], and the raw ``need``
+    tables (used by the overlap mode's local/remote edge split)."""
     need = [[None] * P for _ in range(P)]
     h = 8
     for p, cols in enumerate(cols_per_part):
@@ -204,7 +209,7 @@ def _halo_plan(cols_per_part, P, n_max):
                 out[m] = n_max + q * h + pos
         return out
 
-    return send, h, remap
+    return send, h, remap, need
 
 
 def partition_graph(
@@ -225,13 +230,17 @@ def partition_graph(
     ``halo``: 'allgather' replicates all features per layer (simple, fine
     within one ICI slice); 'alltoall' exchanges only the boundary rows each
     chip actually needs (the DCN-scale strategy) — edge columns are then
-    remapped into the per-chip buffer layout [own | per-peer recv slots].
+    remapped into the per-chip buffer layout [own | per-peer recv slots];
+    'overlap' is 'alltoall' with the per-chip edges additionally split into
+    local-source and remote-source ELLs, so the local aggregation overlaps
+    with the exchange in flight (double buffering via XLA's latency-hiding
+    scheduler).
     """
     if num_parts is None:
         if mesh is None:
             raise ValueError("pass num_parts or a mesh")
         num_parts = mesh.shape[axis_name]
-    if halo not in ("allgather", "alltoall"):
+    if halo not in ("allgather", "alltoall", "overlap"):
         raise ValueError(f"unknown halo mode '{halo}'")
     ei = np.asarray(edge_index)
     src, dst = ei[0].astype(np.int64), ei[1].astype(np.int64)
@@ -261,9 +270,14 @@ def partition_graph(
 
     send_idx = t_send_idx = None
     h_max = 0
-    if halo == "alltoall":
-        send_f, h_f, remap_f = _halo_plan([c for c, _, _ in fwd_parts], P, n_max)
-        send_b, h_b, remap_b = _halo_plan([c for c, _, _ in bwd_parts], P, n_max)
+    need_f = need_b = None
+    if halo in ("alltoall", "overlap"):
+        send_f, h_f, remap_f, need_f = _halo_plan(
+            [c for c, _, _ in fwd_parts], P, n_max
+        )
+        send_b, h_b, remap_b, need_b = _halo_plan(
+            [c for c, _, _ in bwd_parts], P, n_max
+        )
         h_max = max(h_f, h_b)
         # Re-plan with a common H so both directions share buffer geometry.
         if h_f != h_max:
@@ -292,32 +306,79 @@ def partition_graph(
         remap_f = remap_b = lambda p, cols: cols  # padded-global coords
         n_src_coord = P * n_max
 
-    fwd_ells, bwd_ells = [], []
-    for p in range(P):
-        for parts, remap, out in (
-            (fwd_parts, remap_f, fwd_ells),
-            (bwd_parts, remap_b, bwd_ells),
-        ):
-            cols, rows, w_p = parts[p]
-            row_ptr = np.zeros(n_max + 1, np.int64)
-            np.add.at(row_ptr, rows + 1, 1)
-            row_ptr = np.cumsum(row_ptr)
-            out.append(
-                build_ell(
-                    row_ptr,
-                    remap(p, cols),
-                    np.arange(len(cols)),
-                    n_max,
-                    len(cols),
-                    edge_weight=w_p,
+    def _build_part(cols_mapped, rows, w_p):
+        row_ptr = np.zeros(n_max + 1, np.int64)
+        np.add.at(row_ptr, rows + 1, 1)
+        row_ptr = np.cumsum(row_ptr)
+        return build_ell(
+            row_ptr,
+            cols_mapped,
+            np.arange(len(cols_mapped)),
+            n_max,
+            len(cols_mapped),
+            edge_weight=w_p,
+        )
+
+    ell_rem = t_ell_rem = None
+    if halo == "overlap":
+        # Split each chip's edges by source owner: local-source edges
+        # aggregate from x_local (no communication), remote-source edges
+        # aggregate from the all_to_all recv buffer (coords q*h_max + pos).
+        # The two ELL matvecs are independent of each other, so XLA's
+        # latency-hiding scheduler runs the local one while the exchange
+        # is in flight.
+        def remote_remap(need, p, cols):
+            out = np.empty(len(cols), np.int64)
+            own = np.minimum(cols // n_max, P - 1)
+            for q in range(P):
+                m = own == q
+                if m.any():
+                    out[m] = q * h_max + np.searchsorted(need[p][q], cols[m])
+            return out
+
+        fl, fr, bl, br = [], [], [], []
+        for p in range(P):
+            for parts, need, loc_out, rem_out in (
+                (fwd_parts, need_f, fl, fr),
+                (bwd_parts, need_b, bl, br),
+            ):
+                cols, rows, w_p = parts[p]
+                m = np.minimum(cols // n_max, P - 1) == p
+                loc_out.append(
+                    _build_part(
+                        cols[m] - p * n_max,
+                        rows[m],
+                        None if w_p is None else w_p[m],
+                    )
                 )
-            )
+                r = ~m
+                rem_out.append(
+                    _build_part(
+                        remote_remap(need, p, cols[r]),
+                        rows[r],
+                        None if w_p is None else w_p[r],
+                    )
+                )
+        fwd_ells, bwd_ells = fl, bl
+        ell_rem = _pad_stack_ells(fr, n_max)
+        t_ell_rem = _pad_stack_ells(br, n_max)
+    else:
+        fwd_ells, bwd_ells = [], []
+        for p in range(P):
+            for parts, remap, out in (
+                (fwd_parts, remap_f, fwd_ells),
+                (bwd_parts, remap_b, bwd_ells),
+            ):
+                cols, rows, w_p = parts[p]
+                out.append(_build_part(remap(p, cols), rows, w_p))
 
     return DistGraph(
         ell=_pad_stack_ells(fwd_ells, n_max),
         t_ell=_pad_stack_ells(bwd_ells, n_max),
         send_idx=send_idx,
         t_send_idx=t_send_idx,
+        ell_rem=ell_rem,
+        t_ell_rem=t_ell_rem,
         num_parts=P,
         n_max=int(n_max),
         num_nodes=int(num_nodes),

@@ -204,3 +204,44 @@ def test_alltoall_gcn_model(rng, mesh):
     x_sh = shard_node_array(dist, data.x, mesh)
     out = np.asarray(dist.unshard_nodes(model(x_sh, dist)))
     np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
+
+
+# -- overlapped halo exchange (v3: local/remote edge split) ------------------
+
+
+def test_overlap_matches_dense(rng, mesh):
+    ei, w, x, n = make_graph(rng)
+    dist = partition_graph(ei, w, num_nodes=n, mesh=mesh, halo="overlap")
+    assert dist.ell_rem is not None and dist.send_idx is not None
+    x_sh = shard_node_array(dist, x, mesh)
+    out = np.asarray(dist.unshard_nodes(spmm_dist(dist, x_sh, mesh)))
+    dense = np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_grad_matches_dense(rng, mesh):
+    ei, w, x, n = make_graph(rng)
+    dist = partition_graph(ei, w, num_nodes=n, mesh=mesh, halo="overlap")
+    x_sh = shard_node_array(dist, x, mesh)
+    dense = jnp.asarray(np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n)))
+    g_dist = jax.grad(lambda xs: jnp.sum(jnp.sin(spmm_dist(dist, xs, mesh))))(x_sh)
+    g_dense = jax.grad(lambda x: jnp.sum(jnp.sin(dense @ x)))(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(dist.unshard_nodes(g_dist)), g_dense, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_overlap_gcn_model(rng, mesh):
+    from gnn_tpu.models import GCN
+
+    data = stochastic_block_model(num_nodes=96, num_classes=3, seed=17)
+    ei, w = graphs.gcn_norm(np.asarray(data.edge_index), num_nodes=data.num_nodes)
+    adj = graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=data.num_nodes)
+    dist = partition_graph(
+        ei, w, num_nodes=data.num_nodes, mesh=mesh, halo="overlap"
+    )
+    model = GCN(16, 8, 3, key=KEY, dropout=0.0)
+    single = np.asarray(model(data.x, adj))
+    x_sh = shard_node_array(dist, data.x, mesh)
+    out = np.asarray(dist.unshard_nodes(model(x_sh, dist)))
+    np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
