@@ -39,6 +39,18 @@ __all__ = ["EllBlock", "EllLayout", "build_ell", "optimal_buckets"]
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
+# Measured per-slot gather rate vs bucket width, relative to the fastest
+# (benchmarks/gather_rate.py on v5e; see docs/PERF.md). Widths between
+# measured points interpolate; beyond the table they take the last value.
+_RATE_TABLE: Tuple[Tuple[int, float], ...] = ((1, 1.0),)
+
+
+def _width_rate(widths: np.ndarray) -> np.ndarray:
+    ks = np.asarray([k for k, _ in _RATE_TABLE], np.float64)
+    rs = np.asarray([r for _, r in _RATE_TABLE], np.float64)
+    return np.interp(np.asarray(widths, np.float64), ks, rs)
+
+
 def optimal_buckets(
     deg: np.ndarray, max_blocks: int = 10, kmax: int = 512
 ) -> Tuple[int, ...]:
@@ -74,22 +86,30 @@ def optimal_buckets(
     # at least the next allowed value: round up first, then DP as before.
     rem = allowed[np.searchsorted(allowed, rem)]
     vals, counts = np.unique(rem, return_counts=True)
+    # kmax (the split width) is always in the final set; make it the forced
+    # largest DP value so it occupies exactly one of the max_blocks slots —
+    # whether or not any remainder rounds up to it.
+    if vals[-1] != kmax:
+        vals = np.append(vals, kmax)
+        counts = np.append(counts, 0)
     D = len(vals)
-    # Reserve one block for the kmax split width (always present so nodes
-    # with degree > kmax have a home; it costs nothing if unused).
-    B = max(1, min(max_blocks - 1, D))
+    B = max(1, min(max_blocks, D))
     csum = np.concatenate([[0], np.cumsum(counts)])
-    INF = np.iinfo(np.int64).max // 4
-    # dp[b][i]: min slots covering vals[:i+1] with b widths, vals[i] chosen
+    # Per-width cost coefficient: width x measured per-slot gather rate
+    # (relative; 1.0 = full index rate). Minimizing sum(count * coef) is
+    # then minimizing predicted gather TIME, not raw slots.
+    coef = vals.astype(np.float64) * _width_rate(vals)
+    INF = np.inf
+    # dp[b][i]: min cost covering vals[:i+1] with b widths, vals[i] chosen
     # (the largest width must be a chosen one, so answers sit at i = D-1).
-    dp = np.full((B + 1, D), INF, np.int64)
+    dp = np.full((B + 1, D), INF)
     arg = np.zeros((B + 1, D), np.int64)
-    dp[1] = vals * csum[1:]
+    dp[1] = coef * csum[1:]
     for b in range(2, B + 1):
         prev = dp[b - 1]
         for i in range(b - 1, D):
-            # dp[b-1][j] + vals[i] * (csum[i+1] - csum[j+1]) over j < i
-            cand = prev[:i] + vals[i] * (csum[i + 1] - csum[1 : i + 1])
+            # dp[b-1][j] + coef[i] * (csum[i+1] - csum[j+1]) over j < i
+            cand = prev[:i] + coef[i] * (csum[i + 1] - csum[1 : i + 1])
             j = int(np.argmin(cand))
             dp[b][i], arg[b][i] = cand[j], j
     b_best = int(np.argmin(dp[1:, D - 1])) + 1

@@ -17,8 +17,16 @@ from gnn_tpu.ops.segment import (
 )
 from gnn_tpu.ops.spmm import spmm, spmm_coo, spmm_edge_weighted
 from gnn_tpu.ops.sddmm import sddmm, gather_src, gather_dst
+from gnn_tpu.ops.pool import (
+    global_add_pool,
+    global_mean_pool,
+    global_max_pool,
+)
 
 __all__ = [
+    "global_add_pool",
+    "global_mean_pool",
+    "global_max_pool",
     "segment_sum",
     "segment_mean",
     "segment_max",

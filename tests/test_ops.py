@@ -315,3 +315,90 @@ def test_self_loop_only_graph(rng):
     np.testing.assert_allclose(
         ops.spmm(adj, x), w[:, None] * np.asarray(x), rtol=1e-4, atol=1e-5
     )
+
+
+# -- global pooling (graph-level readout over Batch) --------------------------
+
+
+def test_global_pools_match_numpy(rng):
+    from gnn_tpu.ops import global_add_pool, global_mean_pool, global_max_pool
+
+    sizes = [5, 1, 7, 3]
+    gid = np.repeat(np.arange(len(sizes)), sizes).astype(np.int32)
+    x = rng.normal(size=(gid.size, 6)).astype(np.float32)
+    add = np.asarray(global_add_pool(jnp.asarray(x), jnp.asarray(gid), 4))
+    mean = np.asarray(global_mean_pool(jnp.asarray(x), jnp.asarray(gid), 4))
+    mx = np.asarray(global_max_pool(jnp.asarray(x), jnp.asarray(gid), 4))
+    for g, s in enumerate(sizes):
+        rows = x[gid == g]
+        np.testing.assert_allclose(add[g], rows.sum(0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(mean[g], rows.mean(0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(mx[g], rows.max(0), rtol=1e-5, atol=1e-6)
+
+
+def test_global_pool_empty_graph_yields_zero(rng):
+    from gnn_tpu.ops import global_add_pool, global_max_pool
+
+    gid = np.asarray([0, 0, 2], np.int32)  # graph 1 empty
+    x = rng.normal(size=(3, 4)).astype(np.float32)
+    mx = np.asarray(global_max_pool(jnp.asarray(x), jnp.asarray(gid), 3))
+    np.testing.assert_array_equal(mx[1], np.zeros(4, np.float32))
+    add = np.asarray(global_add_pool(jnp.asarray(x), jnp.asarray(gid), 3))
+    np.testing.assert_array_equal(add[1], np.zeros(4, np.float32))
+
+
+def test_global_pool_on_batch(rng):
+    from gnn_tpu import graphs
+    from gnn_tpu.graphs.generate import stochastic_block_model
+    from gnn_tpu.ops import global_mean_pool
+
+    ds = [stochastic_block_model(num_nodes=20 + 4 * i, num_classes=2, seed=i) for i in range(3)]
+    batch = graphs.Batch(ds)
+    pooled = np.asarray(
+        global_mean_pool(batch.x, batch.graph_id, batch.num_graphs)
+    )
+    off = 0
+    for i, d in enumerate(ds):
+        np.testing.assert_allclose(
+            pooled[i], np.asarray(d.x).mean(0), rtol=1e-5, atol=1e-6
+        )
+        off += d.num_nodes
+
+
+# -- optimal ELL bucket widths (exact min-padding DP) --------------------------
+
+
+def test_optimal_buckets_beats_or_matches_brute_force(rng):
+    from itertools import combinations
+
+    from gnn_tpu.graphs.ell import optimal_buckets
+
+    def pad_cost(deg, buckets):
+        b = np.asarray(buckets)
+        kmax = b[-1]
+        deg = deg[deg > 0]
+        full, rem = deg // kmax, deg % kmax
+        m = rem > 0
+        return int((full * kmax).sum() + b[np.searchsorted(b, rem[m])].sum())
+
+    allowed = sorted({1, 2, 4} | set(range(8, 24, 8)))
+    for trial in range(8):
+        deg = rng.integers(0, 20, 60)
+        got = optimal_buckets(deg, max_blocks=4, kmax=16)
+        assert got[-1] >= deg.max() or got[-1] % 8 == 0
+        # brute force over aligned candidate subsets of size <= 3 (+kmax)
+        kmax = got[-1]
+        best = pad_cost(deg, got)
+        for r in (1, 2, 3):
+            for S in combinations([a for a in allowed if a < kmax], r):
+                c = pad_cost(deg, tuple(sorted(set(S) | {kmax})))
+                assert best <= c, (trial, got, S, best, c)
+
+
+def test_optimal_buckets_edge_cases():
+    from gnn_tpu.graphs.ell import optimal_buckets
+
+    assert optimal_buckets(np.zeros(5, np.int64)) == (1,)
+    assert optimal_buckets(np.asarray([8, 8, 8])) == (8,)
+    bk = optimal_buckets(np.asarray([1, 1, 1, 600]))
+    assert bk[-1] >= 512 and all(b == bk[0] or b % 8 == 0 or b in (1, 2, 4) for b in bk)
