@@ -199,15 +199,17 @@ def build_adjacency(
 
         # Default: per-direction degree-adaptive widths (exact min-padding
         # DP) — the in- and out-degree distributions generally differ.
+        if ell_buckets is not None and len(ell_buckets) == 0:
+            raise ValueError("ell_buckets must be a non-empty width tuple")
         bk = None if ell_buckets is None else tuple(ell_buckets)
         ell = build_ell(
             row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
-            buckets=bk or optimal_buckets(np.diff(row_ptr)),
+            buckets=bk if bk is not None else optimal_buckets(np.diff(row_ptr)),
             edge_weight=w_host,
         )
         t_ell = build_ell(
             t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
-            buckets=bk or optimal_buckets(np.diff(t_row_ptr)),
+            buckets=bk if bk is not None else optimal_buckets(np.diff(t_row_ptr)),
             edge_weight=w_host,
         )
     elif layout != "csr":

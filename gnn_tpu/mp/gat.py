@@ -31,21 +31,42 @@ from gnn_tpu.nn.dropout import dropout as dropout_fn
 from gnn_tpu.nn.linear import Linear
 from gnn_tpu.nn.module import static_field
 from gnn_tpu.ops.gather import gather_dst_edges, gather_src_edges
-from gnn_tpu.ops.segment import segment_softmax, segment_sum, segment_sum_edges
+from gnn_tpu.ops.segment import (
+    segment_max,
+    segment_softmax,
+    segment_sum,
+    segment_sum_edges,
+)
 
 __all__ = ["GATConv"]
+
+
+def _segment_max_shift(adj: Adjacency, e: jax.Array) -> jax.Array:
+    """Per-destination-segment max of edge scores, gathered back per edge.
+
+    Softmax is shift-invariant only *within* a segment, so the shift must be
+    per-segment: a global max underflows every segment whose logits sit far
+    below it (exp -> 0 for the whole segment, and the denominator guard then
+    silently zeroes the node's output). The [E, H] scatter-max is cheap
+    relative to the [E, H*F] numerator work."""
+    m = segment_max(
+        jax.lax.stop_gradient(e),
+        adj.dst,
+        adj.num_dst_nodes,
+        indices_are_sorted=True,
+    )
+    m = jnp.where(jnp.isfinite(m), m, 0.0)  # empty segments
+    return m[adj.dst]
 
 
 def _edge_softmax(adj: Adjacency, e: jax.Array) -> jax.Array:
     """Softmax over each destination's in-edges.
 
-    When the adjacency carries a Pallas chunk plan, uses a *global* max
-    shift (mathematically identical — softmax is shift-invariant per
-    segment) so both reductions are scatter-free: the denominator rides the
-    one-hot-matmul segment-sum kernel instead of XLA's scatter."""
+    When the adjacency carries a Pallas chunk plan, the denominator rides
+    the one-hot-matmul segment-sum kernel instead of XLA's scatter; the
+    numerator-stabilizing shift is per-segment either way."""
     if adj.chunk_plan is not None:
-        m = jax.lax.stop_gradient(jnp.max(e))
-        ex = jnp.exp(e - m)
+        ex = jnp.exp(e - _segment_max_shift(adj, e))
         denom = segment_sum_edges(ex, adj)
         return ex / jnp.maximum(denom[adj.dst], 1e-16)
     return segment_softmax(
@@ -121,11 +142,11 @@ class GATConv(MessagePassing):
         if adj.chunk_plan is not None and not return_attention:
             # Fused scatter-free path: numerator and softmax denominator ride
             # ONE Pallas segment-sum (the flash-attention trick, graph
-            # edition). Global max shift is mathematically identical to the
-            # per-segment shift (softmax is shift-invariant within each
-            # segment). Attention dropout masks the numerator's exp terms —
-            # same semantics as dropping normalized alphas.
-            ex = jnp.exp(e - jax.lax.stop_gradient(jnp.max(e)))  # [E, H]
+            # edition). The stabilizing shift is per-segment (a global max
+            # underflows whole low-logit segments — see _segment_max_shift).
+            # Attention dropout masks the numerator's exp terms — same
+            # semantics as dropping normalized alphas.
+            ex = jnp.exp(e - _segment_max_shift(adj, e))  # [E, H]
             ex_num = (
                 dropout_fn(key, ex, self.dropout_rate)
                 if self.dropout_rate > 0 and not self.inference

@@ -36,6 +36,13 @@ def global_max_pool(
     x: jax.Array, graph_id: jax.Array, num_graphs: int
 ) -> jax.Array:
     """[N, F] node features -> [num_graphs, F] per-graph maxima (empty
-    graphs yield 0, matching the mean/sum conventions)."""
+    graphs yield 0, matching the mean/sum conventions).
+
+    Emptiness is masked explicitly by per-graph node counts — not by
+    ``isfinite`` — so legitimate +/-inf maxima survive, NaNs propagate,
+    and integer dtypes get the documented 0 instead of ``iinfo.min``."""
     out = segment_max(x, graph_id, num_graphs, indices_are_sorted=True)
-    return jnp.where(jnp.isfinite(out), out, 0)
+    counts = segment_sum(
+        jnp.ones_like(graph_id), graph_id, num_graphs, indices_are_sorted=True
+    )
+    return jnp.where(counts[:, None] > 0, out, jnp.zeros((), out.dtype))

@@ -37,6 +37,22 @@ def _strip(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
 
 
+def _exchange(v_local, send_idx, axis_name, n_parts):
+    """The targeted-halo exchange core (shared by the 'alltoall' and
+    'overlap' modes and by both forward and backward directions): gather the
+    rows each peer needs, all_to_all them, return the [P*H, F] recv buffer
+    (peer q's rows occupy block q — the coordinate space the remapped edge
+    columns index as ``n_max + q*h_max + pos``)."""
+    send = jnp.take(v_local, send_idx[0], axis=0)  # [P, H, F]
+    if n_parts == 1:
+        recv = send
+    else:
+        recv = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0, tiled=False
+        )
+    return recv.reshape(-1, v_local.shape[1])
+
+
 def spmm_dist(
     dist: DistGraph,
     x_sh: jax.Array,
@@ -58,14 +74,7 @@ def spmm_dist(
         n_parts = dist.num_parts
 
         def exchange_rem(v_local, send_idx):
-            send = jnp.take(v_local, send_idx[0], axis=0)  # [P, H, F]
-            if n_parts == 1:
-                recv = send
-            else:
-                recv = jax.lax.all_to_all(
-                    send, axis_name, split_axis=0, concat_axis=0, tiled=False
-                )
-            return recv.reshape(-1, v_local.shape[1])  # [P*H, F]
+            return _exchange(v_local, send_idx, axis_name, n_parts)
 
         @jax.custom_vjp
         def local(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx):
@@ -110,17 +119,10 @@ def spmm_dist(
         n_parts = dist.num_parts
 
         def exchange(v_local, send_idx):
-            """Targeted halo: send each peer exactly the rows it needs."""
-            send = jnp.take(v_local, send_idx[0], axis=0)  # [P, H, F]
-            if n_parts == 1:
-                recv = send
-            else:
-                recv = jax.lax.all_to_all(
-                    send, axis_name, split_axis=0, concat_axis=0, tiled=False
-                )
-            return jnp.concatenate(
-                [v_local, recv.reshape(-1, v_local.shape[1])], axis=0
-            )
+            """Targeted halo: send each peer exactly the rows it needs, and
+            lay the recv buffer after the owned rows ([own | recv])."""
+            recv = _exchange(v_local, send_idx, axis_name, n_parts)
+            return jnp.concatenate([v_local, recv], axis=0)
 
         @jax.custom_vjp
         def local(x_local, ell, t_ell, send_idx, t_send_idx):

@@ -131,6 +131,16 @@ class DistGraph(Module):
     ``ell``: in-edges of owned nodes (forward); column ids index the padded
     GLOBAL layout [P * n_max] (v1 halo = all-gather).
     ``t_ell``: out-edges of owned nodes (backward dx), same convention.
+
+    Edge-parallel extension (``edge_parallel=True``, the default): per-chip
+    FLAT edge arrays in the local dst-sorted order — ``esrc_coord`` (source
+    position in the chip's halo-buffer layout), ``edst_row`` (owned dst row,
+    ``n_max`` for padding) — plus ``inc``, an *incidence* ELL that reduces
+    per-edge vectors by source buffer coordinate. Together these give every
+    dynamic-per-edge-weight layer (GAT attention, SAGE max, generic
+    ``spmm_edge_weighted``) a scatter-free distributed path: gather-src is a
+    flat take out of the exchanged buffer, and its VJP is the incidence
+    reduction followed by a reverse all_to_all of the remote partials.
     """
 
     ell: EllLayout
@@ -141,6 +151,11 @@ class DistGraph(Module):
     # local aggregation runs concurrently with the all_to_all in flight.
     ell_rem: Optional[EllLayout] = None  # remote-source in-edges (recv coords)
     t_ell_rem: Optional[EllLayout] = None  # same for backward
+    # Edge-parallel arrays (None when edge_parallel=False):
+    esrc_coord: Optional[jax.Array] = None  # [P, E_max] i32, pad -> n_buf
+    edst_row: Optional[jax.Array] = None  # [P, E_max] i32, pad -> n_max
+    inc: Optional[EllLayout] = None  # reduce edge vectors by src buffer coord
+    in_degree: Optional[jax.Array] = None  # [P, n_max] f32 in-degree of owned
     num_parts: int = static_field(default=1)
     n_max: int = static_field(default=0)  # owned nodes per chip (padded)
     num_nodes: int = static_field(default=0)  # true global node count
@@ -148,14 +163,16 @@ class DistGraph(Module):
     axis_name: str = static_field(default="data")
     halo: str = static_field(default="allgather")  # or "alltoall"
     h_max: int = static_field(default=0)  # padded per-pair halo size
+    e_max: int = static_field(default=0)  # padded per-chip edge count
 
-    def global_to_padded(self, ids: np.ndarray) -> np.ndarray:
-        """Global node id -> position in the padded [P * n_max] layout."""
-        ids = np.asarray(ids)
-        owner = np.minimum(ids // self.n_max, self.num_parts - 1)
-        # contiguous equal ranges: offset(p) = p * n_max in padded layout and
-        # p * n_max in global too (owner defined by padded stride)
-        return owner * self.n_max + (ids - owner * self.n_max)
+    @property
+    def n_buf(self) -> int:
+        """Per-chip halo-buffer length the edge ``esrc_coord``s index into:
+        [own rows | recv slots] for the targeted modes, the padded global
+        layout for 'allgather'."""
+        if self.halo in ("alltoall", "overlap"):
+            return self.n_max + self.num_parts * self.h_max
+        return self.num_parts * self.n_max
 
     def shard_nodes(self, x: jax.Array, fill=0) -> jax.Array:
         """Repartition a [N, ...] node array into padded [P * n_max, ...]."""

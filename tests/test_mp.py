@@ -186,6 +186,37 @@ def test_gatconv_single_head_golden(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_gatconv_fused_wide_segment_scales(rng):
+    """Fused (chunk-plan) path must use a PER-SEGMENT max shift.
+
+    Per-segment logit scales span far more than 40 units here; with a
+    global max shift, every segment whose logits sit below the max by
+    ~>80 units underflows to exp()=0 and the denominator guard zeroes the
+    node's output. The csr-path (per-segment segment_softmax) is the
+    oracle."""
+    n, e, f = 24, 90, 6
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    ei, _ = graphs.coalesce(np.stack([src, dst]), num_nodes=n)
+    ei, _ = graphs.add_self_loops(ei, num_nodes=n)
+    # Per-node feature scales spanning 4 orders of magnitude -> per-segment
+    # attention-logit scales spanning hundreds of units.
+    scale = np.where(np.arange(n) % 2 == 0, 60.0, 0.05).astype(np.float32)
+    x = jnp.asarray(
+        rng.normal(size=(n, f)).astype(np.float32) * scale[:, None]
+    )
+    adj_fused = graphs.build_adjacency(ei, num_nodes=n, layout="ell")
+    adj_ref = graphs.build_adjacency(ei, num_nodes=n, layout="csr")
+    assert adj_fused.chunk_plan is not None and adj_ref.chunk_plan is None
+    conv = GATConv(6, 4, key=KEY, heads=2, use_bias=False)
+    got = np.asarray(conv(x, adj_fused))
+    want = np.asarray(conv(x, adj_ref))
+    # Old global-shift code returns ~0 rows for all low-scale segments.
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    row_norms = np.linalg.norm(want, axis=1)
+    assert (np.linalg.norm(got, axis=1) > 0.5 * row_norms).all()
+
+
 def test_ginconv_runs_and_grads(rng):
     data = toy_graph(rng)
     adj = data.to_adjacency(add_self_loops=False, norm=None)

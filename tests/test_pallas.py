@@ -12,6 +12,8 @@ from gnn_tpu.ops.pallas.segment import (
     segment_sum_sorted,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels; run via pytest -m ''
+
 
 def oracle(dst, msg, n):
     out = np.zeros((n, msg.shape[1]), np.float32)

@@ -17,6 +17,8 @@ from gnn_tpu.parallel import (
     shard_node_array,
 )
 
+pytestmark = pytest.mark.slow  # 8-device mesh compiles; run via pytest -m ''
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -12,6 +12,8 @@ from gnn_tpu.graphs.datasets import load_dataset
 from gnn_tpu.train import Config, evaluate, fit
 from gnn_tpu.train.cli import parse_args
 
+pytestmark = pytest.mark.slow  # full training loops; run via pytest -m ''
+
 
 def small_cfg(**over):
     cfg = Config.from_dict(
