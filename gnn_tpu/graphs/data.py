@@ -152,6 +152,47 @@ class Data(Module):
         """Dense [N, N] (tests/small graphs only; reference Data::to_adj)."""
         return to_dense_adj(self.edge_index, self.edge_attr, self.num_nodes)
 
+    def to_dist_graph(
+        self,
+        *,
+        mesh,
+        halo: str = "alltoall",
+        axis_name: str = "data",
+        add_self_loops: bool = True,
+        norm: Optional[str] = "sym",
+        improved: bool = False,
+    ):
+        """Multi-chip counterpart of :meth:`to_adjacency`: the same
+        normalization prep, then a node partition over the mesh's
+        ``axis_name`` axis (see parallel.partition_graph)."""
+        from gnn_tpu.parallel.partition import partition_graph
+
+        ei = np.asarray(self.edge_index)
+        ew = None if self.edge_attr is None else np.asarray(self.edge_attr)
+        if ew is not None and ew.ndim > 1:
+            ew = None
+        if norm in ("sym", "rw", "row"):
+            ei, ew = transforms.gcn_norm(
+                ei,
+                ew,
+                self.num_nodes,
+                self_loops=add_self_loops,
+                improved=improved,
+                norm=norm,
+            )
+        elif add_self_loops:
+            ei, ew = transforms.add_remaining_self_loops(
+                ei, ew, num_nodes=self.num_nodes
+            )
+        return partition_graph(
+            ei,
+            ew,
+            num_nodes=self.num_nodes,
+            mesh=mesh,
+            axis_name=axis_name,
+            halo=halo,
+        )
+
 
 class Batch(Data):
     """Block-diagonal merge of multiple graphs (the reference's unimplemented

@@ -125,6 +125,15 @@ class GATConv(MessagePassing):
         key: Optional[jax.Array] = None,
         return_attention: bool = False,
     ):
+        from gnn_tpu.parallel.partition import DistGraph
+
+        if isinstance(adj, DistGraph):
+            if return_attention:
+                raise ValueError(
+                    "return_attention is single-chip only (per-edge alphas "
+                    "live in the chips' local edge orders)"
+                )
+            return self._forward_dist(x, adj, key=key)
         N, H, F = x.shape[0], self.heads, self.out_features
         E = adj.num_edges
         h = self.lin(x).reshape(N, H, F)  # [N, H, F]
@@ -172,4 +181,62 @@ class GATConv(MessagePassing):
             out = out + self.bias
         if return_attention:
             return out, alpha
+        return out
+
+    def _forward_dist(
+        self, x_sh: jax.Array, dist, *, key: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Multi-chip GAT over a node-partitioned graph (flash-style).
+
+        One halo exchange moves [W x | a_src.(W x)] per node; scores,
+        per-segment softmax and the fused numerator/denominator reduction
+        are then purely LOCAL (forward edges live with their destination's
+        owner, so each node's attention softmax never crosses chips). The
+        only backward collective is gather_src_dist's reverse all_to_all."""
+        from gnn_tpu.parallel.halo import (
+            edge_reduce_by_dst,
+            edge_valid_mask,
+            gather_dst_dist,
+            gather_src_dist,
+        )
+
+        H, F = self.heads, self.out_features
+        N = x_sh.shape[0]  # P * n_max
+        h = self.lin(x_sh)  # [N, H*F]; padding rows stay zero (no bias)
+        hh = h.reshape(N, H, F)
+        alpha_src = jnp.einsum("nhf,hf->nh", hh, self.att_src)
+        alpha_dst = jnp.einsum("nhf,hf->nh", hh, self.att_dst)
+        # Single exchange for features + source attention halves.
+        ecat = gather_src_dist(
+            dist, jnp.concatenate([h, alpha_src], axis=1)
+        )  # [P*E_max, H*F+H]
+        h_src = ecat[:, : H * F].reshape(-1, H, F)
+        e = ecat[:, H * F :] + gather_dst_dist(dist, alpha_dst)  # [E, H]
+        e = leaky_relu(e, self.negative_slope)
+        valid = edge_valid_mask(dist)[:, None]
+        neg = jnp.finfo(e.dtype).min
+        e = jnp.where(valid, e, neg)
+        # Per-segment max shift (local: segments = owned dst's in-edges).
+        m = edge_reduce_by_dst(dist, jax.lax.stop_gradient(e), op="max")
+        m = jnp.where(m > neg / 2, m, 0.0)  # empty / padding-only segments
+        ex = jnp.exp(e - gather_dst_dist(dist, jax.lax.stop_gradient(m)))
+        ex = jnp.where(valid, ex, 0.0)
+        ex_num = (
+            dropout_fn(key, ex, self.dropout_rate)
+            if self.dropout_rate > 0 and not self.inference
+            else ex
+        )
+        combined = jnp.concatenate(
+            [(ex_num[:, :, None] * h_src).reshape(-1, H * F), ex], axis=1
+        )
+        agg = edge_reduce_by_dst(dist, combined)  # [N, H*F+H]
+        num = agg[:, : H * F].reshape(N, H, F)
+        den = agg[:, H * F :]
+        out = num / jnp.maximum(den, 1e-16)[:, :, None]
+        if self.concat:
+            out = out.reshape(N, H * F)
+        else:
+            out = jnp.mean(out, axis=1)
+        if self.bias is not None:
+            out = out + self.bias
         return out

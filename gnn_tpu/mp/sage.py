@@ -60,7 +60,13 @@ class SAGEConv(MessagePassing):
         x_dst: Optional[jax.Array] = None,
     ) -> jax.Array:
         """x: source-node features [N_src, F]. For bipartite/sampled graphs
-        pass x_dst [N_dst, F] (defaults to x for full-graph use)."""
+        pass x_dst [N_dst, F] (defaults to x for full-graph use). A
+        :class:`~gnn_tpu.parallel.DistGraph` runs the layer multi-chip
+        (x in the padded [P*n_max, F] node layout)."""
+        from gnn_tpu.parallel.partition import DistGraph
+
+        if isinstance(adj, DistGraph):
+            return self._forward_dist(x, adj)
         if x_dst is None:
             x_dst = x
         msgs = gather_src(x, adj.src)
@@ -76,6 +82,41 @@ class SAGEConv(MessagePassing):
         else:
             raise ValueError(f"unknown aggr '{self.aggr}'")
         out = self.lin_self(x_dst) + self.lin_neigh(agg)
+        if self.normalize:
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+            )
+        return out
+
+    def _forward_dist(self, x_sh: jax.Array, dist) -> jax.Array:
+        """Multi-chip SAGE over a node-partitioned graph.
+
+        sum/mean ride the static-weight distributed SpMM (mean divides by
+        the partition's stored in-degrees — exact, no extra comm); max rides
+        the edge-parallel gather + local segment-max."""
+        from gnn_tpu.ops.spmm import spmm
+        from gnn_tpu.parallel.halo import edge_reduce_by_dst, gather_src_dist
+
+        if self.aggr in ("mean", "sum"):
+            if dist.has_weight:
+                raise ValueError(
+                    "SAGE mean/sum needs an unweighted DistGraph (the "
+                    "partition's baked edge weights would be folded into "
+                    "the aggregation); build partition_graph without "
+                    "edge_weight"
+                )
+            agg = spmm(dist, x_sh)
+            if self.aggr == "mean":
+                deg = dist.in_degree.reshape(-1)  # [P*n_max]
+                agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(agg.dtype)
+        elif self.aggr == "max":
+            msgs = gather_src_dist(dist, x_sh)
+            agg = edge_reduce_by_dst(dist, msgs, op="max")
+            deg = dist.in_degree.reshape(-1)
+            agg = jnp.where(deg[:, None] > 0, agg, 0.0)  # -inf on deg-0 rows
+        else:
+            raise ValueError(f"unknown aggr '{self.aggr}'")
+        out = self.lin_self(x_sh) + self.lin_neigh(agg)
         if self.normalize:
             out = out / jnp.maximum(
                 jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12

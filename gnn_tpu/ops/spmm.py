@@ -171,7 +171,17 @@ def spmm_edge_weighted(
 ) -> jax.Array:
     """SpMM with caller-supplied *differentiable* per-edge weights (in the
     adjacency's canonical dst-sorted edge order) — the attention fast path.
-    Falls back to the segment backend when no ELL layout is present."""
+    Falls back to the segment backend when no ELL layout is present.
+
+    A :class:`~gnn_tpu.parallel.DistGraph` routes to the multi-chip dynamic
+    path; there ``weight`` is [P*E_max] in the chips' local dst-sorted edge
+    order with zeros in the padding slots (see parallel.edge_valid_mask)."""
+    from gnn_tpu.parallel.partition import DistGraph
+
+    if isinstance(adj, DistGraph):
+        from gnn_tpu.parallel.halo import spmm_dist_dynw
+
+        return spmm_dist_dynw(adj, weight, x)
     if adj.ell is not None and adj.t_ell is not None:
         return _spmm_ell_dynw(x, weight, adj.ell, adj.t_ell)
     return _spmm(

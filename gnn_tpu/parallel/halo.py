@@ -29,7 +29,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gnn_tpu.ops.spmm import _ell_matvec
 from gnn_tpu.parallel.partition import DistGraph
 
-__all__ = ["spmm_dist", "shard_node_array"]
+__all__ = [
+    "spmm_dist",
+    "spmm_dist_dynw",
+    "gather_src_dist",
+    "gather_dst_dist",
+    "edge_reduce_by_dst",
+    "edge_valid_mask",
+    "shard_node_array",
+]
 
 
 def _strip(tree):
@@ -184,6 +192,190 @@ def spmm_dist(
         axis_names={axis_name},
     )
     return fn(x_sh, dist.ell, dist.t_ell)
+
+
+# -- edge-parallel primitives (dynamic per-edge weights over the mesh) ------
+#
+# The static-weight SpMM above covers GCN/GIN, whose aggregation weights are
+# frozen into the partition. GAT (attention) and SAGE-max need *runtime*
+# per-edge values; these primitives give them a scatter-free distributed
+# path built on the DistGraph's edge-parallel arrays (partition.py):
+#
+#   gather_src_dist    x[P*n_max,F] -> per-edge src features [P*E_max,F]
+#                      (fwd: halo exchange + flat take; bwd: incidence-ELL
+#                      reduction by source coordinate + reverse all_to_all
+#                      of the remote partials back to their owners)
+#   gather_dst_dist    per-owned-node values -> per-edge dst values (local)
+#   edge_reduce_by_dst per-edge values -> per-owned-dst sum/max (local —
+#                      forward edges live with their destination's owner)
+#   spmm_dist_dynw     out = A(w) @ x with differentiable per-edge w
+#
+# Per-edge arrays use each chip's LOCAL dst-sorted edge order, concatenated
+# chip-major into [P*E_max, ...]; padding edges (edst_row == n_max) carry
+# zero rows and drop out of every reduction.
+
+
+def _require_edge_parallel(dist: DistGraph):
+    if dist.esrc_coord is None or dist.inc is None:
+        raise ValueError(
+            "DistGraph was built with edge_parallel=False; rebuild with "
+            "partition_graph(..., edge_parallel=True) for dynamic-weight ops"
+        )
+    if dist.mesh is None:
+        raise ValueError("DistGraph has no mesh: partition_graph(..., mesh=mesh)")
+
+
+def edge_valid_mask(dist: DistGraph) -> jax.Array:
+    """[P*E_max] bool — True for real edges, False for padding slots."""
+    _require_edge_parallel(dist)
+    return (dist.edst_row != dist.n_max).reshape(-1)
+
+
+def _full_buffer(x_local, send_idx, axis_name, n_parts, targeted):
+    """The per-chip halo buffer the remapped edge coords index into:
+    [own rows | recv slots] for targeted modes, tiled all-gather otherwise."""
+    if targeted:
+        return jnp.concatenate(
+            [x_local, _exchange(x_local, send_idx, axis_name, n_parts)], axis=0
+        )
+    return jax.lax.all_gather(x_local, axis_name, tiled=True)
+
+
+def gather_src_dist(dist: DistGraph, x_sh: jax.Array) -> jax.Array:
+    """Per-edge source features over the mesh.
+
+    ``x_sh``: [P*n_max, F] in the padded node layout. Returns [P*E_max, F]
+    in each chip's local dst-sorted edge order (padding edges -> zeros).
+
+    Custom VJP (the reason this exists): the cotangent reduction by source
+    never scatters — per-edge cotangents reduce through the incidence ELL
+    into halo-buffer coordinates, and the remote-coordinate partials ride
+    the REVERSE all_to_all back to their owners (or a psum_scatter in
+    allgather mode). This is the distributed generalization of the
+    reference's gather/scatter Slice pair (operation.h:575-616)."""
+    _require_edge_parallel(dist)
+    if x_sh.ndim != 2:
+        raise ValueError(f"gather_src_dist expects [P*n_max, F], got {x_sh.shape}")
+    mesh, axis_name = dist.mesh, dist.axis_name
+    targeted = dist.halo in ("alltoall", "overlap")
+    n_parts, n_max, h_max = dist.num_parts, dist.n_max, dist.h_max
+    send_idx = dist.send_idx
+    if send_idx is None:  # allgather mode has no send tables
+        send_idx = jnp.zeros((n_parts, 1, 1), jnp.int32)
+    in_dtype = x_sh.dtype
+
+    @jax.custom_vjp
+    def local(x_local, esrc, inc, sidx):
+        buf = _full_buffer(x_local, sidx, axis_name, n_parts, targeted)
+        buf = jnp.concatenate(
+            [buf, jnp.zeros((1, buf.shape[1]), buf.dtype)], axis=0
+        )
+        return jnp.take(buf, esrc[0], axis=0)
+
+    def local_fwd(x_local, esrc, inc, sidx):
+        return local(x_local, esrc, inc, sidx), (inc, sidx)
+
+    def local_bwd(res, g):
+        inc, sidx = res
+        partials = _ell_matvec(_strip(inc), g)  # [n_buf, F], scatter-free
+        if targeted:
+            dx = partials[:n_max]
+            rem = partials[n_max:].reshape(n_parts, h_max, g.shape[1])
+            if n_parts > 1:
+                rem = jax.lax.all_to_all(
+                    rem, axis_name, split_axis=0, concat_axis=0, tiled=False
+                )
+            # Partials at unpopulated send slots are exactly 0, so the padded
+            # send rows (value 0) only ever add zeros to row 0.
+            dx = dx.at[sidx[0].reshape(-1)].add(
+                rem.reshape(-1, g.shape[1]), mode="drop"
+            )
+        else:
+            dx = jax.lax.psum_scatter(
+                partials, axis_name, scatter_dimension=0, tiled=True
+            )
+        return dx.astype(in_dtype), None, None, None
+
+    local.defvjp(local_fwd, local_bwd)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None),) + (P(axis_name),) * 3,
+        out_specs=P(axis_name, None),
+        axis_names={axis_name},
+    )
+    return fn(x_sh, dist.esrc_coord, dist.inc, send_idx)
+
+
+def gather_dst_dist(dist: DistGraph, u_sh: jax.Array) -> jax.Array:
+    """Per-edge values of each edge's (locally owned) destination:
+    [P*n_max, F] -> [P*E_max, F]. Purely local; differentiable (the VJP is
+    a small [E_max -> n_max] sorted scatter of width F)."""
+    _require_edge_parallel(dist)
+
+    def local(u_local, edst):
+        u_ext = jnp.concatenate(
+            [u_local, jnp.zeros((1, u_local.shape[1]), u_local.dtype)], axis=0
+        )
+        return jnp.take(u_ext, edst[0], axis=0)
+
+    fn = jax.shard_map(
+        local,
+        mesh=dist.mesh,
+        in_specs=(P(dist.axis_name, None), P(dist.axis_name)),
+        out_specs=P(dist.axis_name, None),
+        axis_names={dist.axis_name},
+    )
+    return fn(u_sh, dist.edst_row)
+
+
+def edge_reduce_by_dst(
+    dist: DistGraph, v_sh: jax.Array, *, op: str = "sum"
+) -> jax.Array:
+    """Reduce per-edge values to their destination nodes: [P*E_max, F] ->
+    [P*n_max, F]. Local per chip (the forward partition keys edges by dst
+    owner); edges are dst-sorted so the reduction is a sorted segment op.
+    ``op``: 'sum' or 'max' ('max' leaves -inf on in-degree-0 rows — mask at
+    the caller, e.g. with ``dist.in_degree``)."""
+    _require_edge_parallel(dist)
+    if op not in ("sum", "max"):
+        raise ValueError(f"unknown edge reduction '{op}'")
+    n_max = dist.n_max
+
+    def local(v_local, edst):
+        ids = edst[0]
+        if op == "sum":
+            out = jax.ops.segment_sum(
+                v_local, ids, n_max + 1, indices_are_sorted=True
+            )
+        else:
+            out = jax.ops.segment_max(
+                v_local, ids, n_max + 1, indices_are_sorted=True
+            )
+        return out[:n_max]  # row n_max collected the padding edges
+
+    fn = jax.shard_map(
+        local,
+        mesh=dist.mesh,
+        in_specs=(P(dist.axis_name, None), P(dist.axis_name)),
+        out_specs=P(dist.axis_name, None),
+        axis_names={dist.axis_name},
+    )
+    return fn(v_sh, dist.edst_row)
+
+
+def spmm_dist_dynw(
+    dist: DistGraph, weight_sh: jax.Array, x_sh: jax.Array
+) -> jax.Array:
+    """out = A(w) @ x over the mesh with *differentiable* per-edge weights.
+
+    ``weight_sh``: [P*E_max] in the chips' local dst-sorted edge order
+    (padding slots must be 0 — see :func:`edge_valid_mask`). The dynamic
+    analog of :func:`spmm_dist`; backward dx rides gather_src_dist's
+    incidence-ELL VJP and dw is a local per-edge SDDMM via autodiff."""
+    msgs = gather_src_dist(dist, x_sh) * weight_sh[:, None].astype(x_sh.dtype)
+    return edge_reduce_by_dst(dist, msgs, op="sum")
 
 
 def shard_node_array(

@@ -156,6 +156,8 @@ class DistGraph(Module):
     edst_row: Optional[jax.Array] = None  # [P, E_max] i32, pad -> n_max
     inc: Optional[EllLayout] = None  # reduce edge vectors by src buffer coord
     in_degree: Optional[jax.Array] = None  # [P, n_max] f32 in-degree of owned
+    edge_id: Optional[jax.Array] = None  # [P, E_max] i32 input-order edge id,
+    # pad -> global num_edges (feeds shard_edge_array's zero slot)
     num_parts: int = static_field(default=1)
     n_max: int = static_field(default=0)  # owned nodes per chip (padded)
     num_nodes: int = static_field(default=0)  # true global node count
@@ -164,6 +166,7 @@ class DistGraph(Module):
     halo: str = static_field(default="allgather")  # or "alltoall"
     h_max: int = static_field(default=0)  # padded per-pair halo size
     e_max: int = static_field(default=0)  # padded per-chip edge count
+    has_weight: bool = static_field(default=False)  # baked edge weights?
 
     @property
     def n_buf(self) -> int:
@@ -173,6 +176,18 @@ class DistGraph(Module):
         if self.halo in ("alltoall", "overlap"):
             return self.n_max + self.num_parts * self.h_max
         return self.num_parts * self.n_max
+
+    def shard_edge_array(self, w, fill=0) -> jax.Array:
+        """Map a per-edge array given in partition_graph's INPUT edge order
+        to the [P*E_max, ...] local dst-sorted edge layout that the
+        edge-parallel ops consume (padding slots -> ``fill``)."""
+        if self.edge_id is None:
+            raise ValueError("built with edge_parallel=False")
+        w = jnp.asarray(w)
+        ext = jnp.concatenate(
+            [w, jnp.full((1,) + w.shape[1:], fill, w.dtype)], axis=0
+        )
+        return jnp.take(ext, self.edge_id.reshape(-1), axis=0)
 
     def shard_nodes(self, x: jax.Array, fill=0) -> jax.Array:
         """Repartition a [N, ...] node array into padded [P * n_max, ...]."""
@@ -238,6 +253,7 @@ def partition_graph(
     mesh=None,
     axis_name: str = "data",
     halo: str = "allgather",
+    edge_parallel: bool = True,
 ) -> DistGraph:
     """Partition a COO graph by contiguous node ranges over ``num_parts``.
 
@@ -252,6 +268,10 @@ def partition_graph(
     local-source and remote-source ELLs, so the local aggregation overlaps
     with the exchange in flight (double buffering via XLA's latency-hiding
     scheduler).
+
+    ``edge_parallel``: also build the flat per-edge arrays + incidence ELL
+    that dynamic-per-edge-weight layers (GAT, SAGE-max, spmm_edge_weighted)
+    need; costs roughly one more E-sized int array set.
     """
     if num_parts is None:
         if mesh is None:
@@ -267,7 +287,8 @@ def partition_graph(
     n_max = ((n_max + 7) // 8) * 8  # sublane-align owned ranges
 
     # Collect per-part sorted local edge lists first.
-    fwd_parts, bwd_parts = [], []
+    gidx = np.arange(len(src), dtype=np.int64)
+    fwd_parts, bwd_parts, fwd_ids = [], [], []
     for p in range(P):
         lo, hi = p * n_max, min((p + 1) * n_max, num_nodes)
         m = (dst >= lo) & (dst < hi)  # forward: in-edges of owned dst
@@ -277,6 +298,7 @@ def partition_graph(
         fwd_parts.append(
             (s_p[order], d_p[order], None if w_p is None else w_p[order])
         )
+        fwd_ids.append(gidx[m][order])
         m = (src >= lo) & (src < hi)  # backward: out-edges of owned src
         s_p, d_p = src[m] - lo, dst[m]  # A^T: row = src, col = dst
         w_p = None if w is None else w[m]
@@ -389,6 +411,42 @@ def partition_graph(
                 cols, rows, w_p = parts[p]
                 out.append(_build_part(remap(p, cols), rows, w_p))
 
+    # Edge-parallel arrays: flat per-edge views of the SAME fwd partition
+    # (local dst-sorted order) in the halo-buffer coordinate space, plus the
+    # incidence ELL that reduces per-edge vectors by source coordinate (the
+    # scatter-free backward of gather_src_dist — see parallel/halo.py).
+    esrc_coord = edst_row = inc = in_degree = edge_id = None
+    e_max = 0
+    if edge_parallel:
+        n_buf = n_max + P * h_max if halo in ("alltoall", "overlap") else P * n_max
+        e_max = max(1, max(len(c) for c, _, _ in fwd_parts))
+        e_max = ((e_max + 7) // 8) * 8
+        esrc_np = np.full((P, e_max), n_buf, np.int32)  # pad -> zero row
+        edst_np = np.full((P, e_max), n_max, np.int32)  # pad -> dropped
+        eid_np = np.full((P, e_max), len(src), np.int32)  # pad -> fill slot
+        deg_np = np.zeros((P, n_max), np.float32)
+        incs = []
+        for p in range(P):
+            cols, rows, _ = fwd_parts[p]
+            ep = len(cols)
+            mapped = np.asarray(remap_f(p, cols), np.int64)
+            esrc_np[p, :ep] = mapped
+            edst_np[p, :ep] = rows
+            eid_np[p, :ep] = fwd_ids[p]
+            np.add.at(deg_np[p], rows, 1.0)
+            order = np.argsort(mapped, kind="stable")
+            rp = np.zeros(n_buf + 1, np.int64)
+            np.add.at(rp, mapped + 1, 1)
+            rp = np.cumsum(rp)
+            # cols of the incidence ELL are LOCAL EDGE IDS (they gather rows
+            # of an [E_max, F] per-edge array), emitted in coord-sorted order.
+            incs.append(build_ell(rp, order, order, n_buf, ep))
+        esrc_coord = jnp.asarray(esrc_np)
+        edst_row = jnp.asarray(edst_np)
+        edge_id = jnp.asarray(eid_np)
+        in_degree = jnp.asarray(deg_np)
+        inc = _pad_stack_ells(incs, n_buf)
+
     return DistGraph(
         ell=_pad_stack_ells(fwd_ells, n_max),
         t_ell=_pad_stack_ells(bwd_ells, n_max),
@@ -396,6 +454,11 @@ def partition_graph(
         t_send_idx=t_send_idx,
         ell_rem=ell_rem,
         t_ell_rem=t_ell_rem,
+        esrc_coord=esrc_coord,
+        edst_row=edst_row,
+        inc=inc,
+        in_degree=in_degree,
+        edge_id=edge_id,
         num_parts=P,
         n_max=int(n_max),
         num_nodes=int(num_nodes),
@@ -403,4 +466,6 @@ def partition_graph(
         axis_name=axis_name,
         halo=halo,
         h_max=int(h_max),
+        e_max=int(e_max),
+        has_weight=edge_weight is not None,
     )

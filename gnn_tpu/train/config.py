@@ -13,7 +13,7 @@ import json
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
-__all__ = ["ModelConfig", "OptimConfig", "TrainConfig", "Config"]
+__all__ = ["ModelConfig", "OptimConfig", "TrainConfig", "DistConfig", "Config"]
 
 
 @dataclass
@@ -49,12 +49,27 @@ class TrainConfig:
 
 
 @dataclass
+class DistConfig:
+    """Multi-chip full-graph training knobs (graph-partition parallelism).
+
+    ``num_parts``: 0/1 = single chip; N > 1 partitions nodes + edges over an
+    N-way ``data`` mesh axis (N must divide into the available devices).
+    ``halo``: feature-exchange strategy — allgather | alltoall | overlap
+    (see parallel.partition_graph)."""
+
+    num_parts: int = 0
+    axis_name: str = "data"
+    halo: str = "alltoall"
+
+
+@dataclass
 class Config:
     dataset: str = "sbm"
     data_root: str = "data"
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -71,6 +86,7 @@ class Config:
             model=ModelConfig(**d.get("model", {})),
             optim=OptimConfig(**d.get("optim", {})),
             train=TrainConfig(**d.get("train", {})),
+            dist=DistConfig(**d.get("dist", {})),
         )
 
     def apply_overrides(self, overrides: Sequence[str]) -> "Config":

