@@ -4,6 +4,7 @@ has as disconnected parts (SURVEY.md §3.3) must actually learn here."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gnn_tpu import graphs, nn, optim
 from gnn_tpu.graphs.generate import karate_club, stochastic_block_model
@@ -137,3 +138,44 @@ def test_gin_graph_level_readout():
     out = model(batch.x, adj, graph_id=batch.graph_id, num_graphs=2)
     assert out.shape == (2, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cora_like_statistics():
+    """The committed Cora stand-in matches the published statistics
+    (docs/PARITY.md): exact N/E/classes/splits, degree & homophily bands."""
+    from gnn_tpu.graphs.generate import cora_like
+
+    d = cora_like(seed=0)
+    ei, y = np.asarray(d.edge_index), np.asarray(d.y)
+    assert d.num_nodes == 2708 and ei.shape[1] == 2 * 5278
+    assert list(np.bincount(y)) == [351, 217, 418, 818, 426, 298, 180]
+    assert d.x.shape == (2708, 1433)
+    deg = np.bincount(ei[1], minlength=2708)
+    assert 3.7 < deg.mean() < 4.1
+    homophily = (y[ei[0]] == y[ei[1]]).mean()
+    assert 0.75 < homophily < 0.85
+    assert int(d.train_mask.sum()) == 140
+    assert int(d.val_mask.sum()) == 500
+    assert int(d.test_mask.sum()) == 1000
+    # 20 train nodes per class (canonical Planetoid protocol)
+    assert all(int(m) == 20 for m in np.bincount(y[np.asarray(d.train_mask)]))
+
+
+@pytest.mark.slow
+def test_cora_like_gcn_accuracy_band():
+    """Kipf-recipe 2-layer GCN lands in the Cora accuracy band on the
+    stand-in (real-data parity is blocked on data: docs/PARITY.md)."""
+    from gnn_tpu.graphs.generate import cora_like
+    from gnn_tpu.train import Config, fit
+
+    cfg = Config()
+    cfg.model.name = "gcn"
+    cfg.model.hidden = 16
+    cfg.model.dropout = 0.5
+    cfg.optim.lr = 0.01
+    cfg.optim.weight_decay = 5e-4
+    cfg.train.epochs = 200
+    cfg.train.eval_every = 200
+    _, _, hist = fit(cfg, cora_like(seed=0), verbose=False)
+    acc = hist[-1]["test_acc"]
+    assert 0.78 <= acc <= 0.88, f"outside Cora band: {acc}"
