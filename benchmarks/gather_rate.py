@@ -55,7 +55,7 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
     out = {}
-    for k in (1, 2, 4, 8, 12, 16, 32):
+    for k in (1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 24, 32, 64, 128):
         dt = time_k(k, x, rng)
         slots = (SLOTS // k) * k
         out[k] = dt / slots * 1e9

@@ -105,6 +105,10 @@ def _ell_matvec(ell, x, weight=None):
         )
     flat = jnp.concatenate(parts + [jnp.zeros((1, F), x.dtype)], axis=0)
     out = jnp.take(flat, ell.inv_light, axis=0)
+    if ell.inv_light2 is not None:
+        # 2-piece remainder covers (graphs/ell.py): one extra N-row gather
+        # (1-piece nodes hit the zero row) — still no scatter.
+        out = out + jnp.take(flat, ell.inv_light2, axis=0)
     if int(ell.heavy_ids.shape[0]):
         heavy = jnp.sum(jnp.take(flat, ell.heavy_slots, axis=0), axis=1)
         out = out.at[ell.heavy_ids].set(heavy)

@@ -90,6 +90,11 @@ def _pad_stack_ells(ells: Sequence[EllLayout], n_max: int) -> EllLayout:
     r_total_new = off
 
     heavy_slots_arr = np.full((P, h_max, j_max), r_total_new, np.int64)
+    inv_light2 = (
+        np.full((P, n_max), r_total_new, np.int64)
+        if any(e.inv_light2 is not None for e in ells)
+        else None
+    )
     for p, e in enumerate(ells):
         old_off = 0
         remap = np.full(e.num_rows_total + 1, r_total_new, np.int64)
@@ -99,6 +104,11 @@ def _pad_stack_ells(ells: Sequence[EllLayout], n_max: int) -> EllLayout:
             old_off += nb
         inv = _np(e.inv_light).astype(np.int64)
         inv_light[p, : inv.shape[0]] = remap[np.minimum(inv, e.num_rows_total)]
+        if inv_light2 is not None and e.inv_light2 is not None:
+            iv2 = _np(e.inv_light2).astype(np.int64)
+            inv_light2[p, : iv2.shape[0]] = remap[
+                np.minimum(iv2, e.num_rows_total)
+            ]
         h = int(e.heavy_ids.shape[0])
         if h:
             heavy_ids[p, :h] = _np(e.heavy_ids)
@@ -119,6 +129,9 @@ def _pad_stack_ells(ells: Sequence[EllLayout], n_max: int) -> EllLayout:
         heavy_ids=jnp.asarray(heavy_ids, jnp.int32),
         heavy_slots=jnp.asarray(heavy_slots_arr, jnp.int32),
         edge_to_slot=jnp.asarray(e2s, jnp.int32),
+        inv_light2=(
+            None if inv_light2 is None else jnp.asarray(inv_light2, jnp.int32)
+        ),
         num_rows_total=int(r_total_new),
         num_nodes=int(n_max),
         num_edges=int(e_max),
