@@ -49,7 +49,10 @@ def build_workload():
     ei = power_law(N, E_DIRECTED, alpha=0.8, seed=0)
     ei, _ = graphs.to_undirected(ei, num_nodes=N)
     ei, w = graphs.gcn_norm(ei, num_nodes=N, self_loops=True)
-    adj = graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=N)
+    # reorder=True selects the combine-free degree-bucket layout
+    # (graphs/sorted_ell.py); x below is already in the relabeled node space
+    # (random iid, so no explicit permutation is needed).
+    adj = graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=N, reorder=True)
     x = jnp.asarray(
         np.random.default_rng(1).normal(size=(N, F)).astype(np.float32)
     )

@@ -29,6 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnn_tpu.graphs.ell import EllLayout, build_ell
+from gnn_tpu.graphs.sorted_ell import (
+    SortedEllLayout,
+    build_sorted_ell,
+    degree_bucket_order,
+    refresh_sorted_weights,
+)
 from gnn_tpu.nn.module import Module, static_field
 
 __all__ = ["Adjacency", "build_adjacency"]
@@ -70,6 +76,11 @@ class Adjacency(Module):
     # one-hot segment-sum kernel (dynamic-weight/attention aggregation)
     t_chunk_plan: object  # same over the src-sorted (transpose) ordering —
     # backs the VJP of edge gathers (scatter-free backward)
+    # Combine-free contiguous layouts (graphs/sorted_ell.py), present when
+    # built with reorder=True/'auto': node ids are RELABELED by perm.
+    sorted_ell: Optional[SortedEllLayout] = None
+    t_sorted_ell: Optional[SortedEllLayout] = None
+    perm: Optional[jax.Array] = None  # [N] int32 new -> old node id
     num_src_nodes: int = static_field(default=0)
     num_dst_nodes: int = static_field(default=0)
 
@@ -85,6 +96,18 @@ class Adjacency(Module):
             weight=weight,
             ell=_refresh_ell_weights(self.ell, weight, self.num_edges),
             t_ell=_refresh_ell_weights(self.t_ell, weight, self.num_edges),
+            sorted_ell=(
+                None
+                if self.sorted_ell is None
+                else refresh_sorted_weights(self.sorted_ell, weight, self.num_edges)
+            ),
+            t_sorted_ell=(
+                None
+                if self.t_sorted_ell is None
+                else refresh_sorted_weights(
+                    self.t_sorted_ell, weight, self.num_edges
+                )
+            ),
         )
 
     def transpose(self) -> "Adjacency":
@@ -108,6 +131,22 @@ class Adjacency(Module):
                 )
             )
 
+        def remap_sorted(lay):
+            if lay is None:
+                return None
+            inv_ext = jnp.concatenate(
+                [inv.astype(jnp.int32), jnp.asarray([self.num_edges], jnp.int32)]
+            )
+            return lay.replace(
+                narrow=tuple(
+                    b.replace(slot_to_edge=inv_ext[b.slot_to_edge])
+                    for b in lay.narrow
+                ),
+                stream_edge=inv_ext[lay.stream_edge],
+                diag_edge=inv_ext[lay.diag_edge],
+                edge_to_slot=lay.edge_to_slot[self.t_perm],
+            )
+
         return Adjacency(
             src=self.dst[self.t_perm],
             dst=self.src[self.t_perm],
@@ -119,6 +158,9 @@ class Adjacency(Module):
             t_ell=remap(self.ell),
             chunk_plan=self.t_chunk_plan,
             t_chunk_plan=self.chunk_plan,
+            sorted_ell=remap_sorted(self.t_sorted_ell),
+            t_sorted_ell=remap_sorted(self.sorted_ell),
+            perm=self.perm,
             num_src_nodes=self.num_dst_nodes,
             num_dst_nodes=self.num_src_nodes,
         )
@@ -138,6 +180,7 @@ def build_adjacency(
     num_dst_nodes: Optional[int] = None,
     layout: str = "auto",
     ell_buckets=None,
+    reorder=False,
 ) -> Adjacency:
     """Prepare an :class:`Adjacency` from a COO edge list [2, E].
 
@@ -145,6 +188,16 @@ def build_adjacency(
     builds both CSR offset arrays and the transpose permutation. The
     equivalent of the reference's ``edge_to_adj_mat`` densification
     (src/graph.cpp:21-44) — except O(E), not O(N^2).
+
+    ``reorder``: ``True`` or ``"auto"`` RELABELS node ids by degree bucket
+    and builds the combine-free :mod:`~gnn_tpu.graphs.sorted_ell` layouts
+    (the fast single-chip SpMM path; ~1.5x the generic ELL on the arxiv-scale
+    benchmark). The adjacency then speaks the relabeled id space: feed
+    ``x[adj.perm]`` and read outputs through the same permutation
+    (``out_old = out_new[inverse_permutation(adj.perm)]``). Requires a
+    degree-symmetric graph (in-degree == out-degree per node, e.g. any
+    symmetrized GCN graph); ``True`` raises otherwise, ``"auto"`` silently
+    falls back to the unordered layout.
     """
     ei = np.asarray(edge_index)
     if ei.ndim != 2 or ei.shape[0] != 2:
@@ -165,6 +218,29 @@ def build_adjacency(
     # through the proxied backend is catastrophically slow, and every prep
     # step here is numpy. One device transfer happens at the very end.
     w_host = None if edge_weight is None else np.asarray(edge_weight, np.float32)
+
+    # Optional degree-bucket node relabeling for the combine-free layout.
+    perm_host = None
+    if reorder:
+        ns_mask = src != dst
+        deg_in = np.bincount(dst[ns_mask], minlength=num_dst_nodes)
+        symmetric = num_src_nodes == num_dst_nodes and np.array_equal(
+            deg_in, np.bincount(src[ns_mask], minlength=num_src_nodes)
+        )
+        if not symmetric:
+            if reorder != "auto":
+                raise ValueError(
+                    "build_adjacency(reorder=True) needs a degree-symmetric "
+                    "graph (in-degree == out-degree per node); pass "
+                    "reorder='auto' to fall back, or symmetrize the edges "
+                    "(graphs.to_undirected)"
+                )
+            reorder = False
+        else:
+            perm_host = degree_bucket_order(deg_in)  # new -> old
+            old2new = np.empty(num_dst_nodes, np.int64)
+            old2new[perm_host] = np.arange(num_dst_nodes)
+            src, dst = old2new[src], old2new[dst]
 
     # Sort by destination (stable in source) for sorted-segment aggregation.
     # O(E + N) native counting sort when the C++ graph-core is available
@@ -194,6 +270,17 @@ def build_adjacency(
     if layout == "auto":
         layout = "ell" if num_edges >= 2048 else "csr"
     ell = t_ell = None
+    sorted_ell = t_sorted_ell = None
+    if perm_host is not None and layout == "ell":
+        sorted_ell = build_sorted_ell(
+            row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
+            edge_weight=w_host,
+        )
+        t_sorted_ell = build_sorted_ell(
+            t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
+            edge_weight=w_host,
+        )
+        layout = "csr"  # skip the generic ELL; sorted layouts replace it
     if layout == "ell":
         from gnn_tpu.graphs.ell import optimal_buckets
 
@@ -216,7 +303,7 @@ def build_adjacency(
         raise ValueError(f"unknown layout '{layout}' (expected auto/ell/csr)")
 
     chunk_plan = t_chunk_plan = None
-    if ell is not None:
+    if ell is not None or sorted_ell is not None:
         from gnn_tpu.ops.pallas.segment import build_chunk_plan
 
         chunk_plan = build_chunk_plan(dst, num_dst_nodes)
@@ -233,6 +320,13 @@ def build_adjacency(
         t_ell=t_ell,
         chunk_plan=chunk_plan,
         t_chunk_plan=t_chunk_plan,
+        sorted_ell=sorted_ell,
+        t_sorted_ell=t_sorted_ell,
+        perm=(
+            None
+            if perm_host is None
+            else jnp.asarray(perm_host.astype(np.int32))
+        ),
         num_src_nodes=int(num_src_nodes),
         num_dst_nodes=int(num_dst_nodes),
     )

@@ -131,6 +131,58 @@ def _ell_edge_grad(ell, g_out, x):
     return jnp.take(flat, ell.edge_to_slot)
 
 
+# -- sorted (combine-free) fast path; see graphs/sorted_ell.py ---------------
+
+
+@jax.custom_vjp
+def _spmm_sorted(x, lay, t_lay):
+    """Static-weight SpMM over the contiguous degree-bucket layout: output
+    is concat(bucket parts) in node order — no combine gathers at all."""
+    from gnn_tpu.graphs.sorted_ell import sorted_ell_matvec
+
+    return sorted_ell_matvec(lay, x)
+
+
+def _spmm_sorted_fwd(x, lay, t_lay):
+    return _spmm_sorted(x, lay, t_lay), (lay, t_lay)
+
+
+def _spmm_sorted_bwd(res, g):
+    from gnn_tpu.graphs.sorted_ell import sorted_ell_matvec
+
+    lay, t_lay = res
+    return sorted_ell_matvec(t_lay, g), None, None
+
+
+_spmm_sorted.defvjp(_spmm_sorted_fwd, _spmm_sorted_bwd)
+
+
+@jax.custom_vjp
+def _spmm_sorted_dynw(x, weight, lay, t_lay):
+    from gnn_tpu.graphs.sorted_ell import sorted_ell_matvec
+
+    return sorted_ell_matvec(lay, x, weight)
+
+
+def _spmm_sorted_dynw_fwd(x, weight, lay, t_lay):
+    return _spmm_sorted_dynw(x, weight, lay, t_lay), (x, weight, lay, t_lay)
+
+
+def _spmm_sorted_dynw_bwd(res, g):
+    from gnn_tpu.graphs.sorted_ell import (
+        sorted_ell_edge_grad,
+        sorted_ell_matvec,
+    )
+
+    x, weight, lay, t_lay = res
+    dx = sorted_ell_matvec(t_lay, g, weight).astype(x.dtype)
+    dw = sorted_ell_edge_grad(lay, g, x).astype(weight.dtype)
+    return dx, dw, None, None
+
+
+_spmm_sorted_dynw.defvjp(_spmm_sorted_dynw_fwd, _spmm_sorted_dynw_bwd)
+
+
 @jax.custom_vjp
 def _spmm_ell(x, ell, t_ell):
     """Static-weight ELL SpMM: differentiates x only (the adjacency's
@@ -186,6 +238,8 @@ def spmm_edge_weighted(
         from gnn_tpu.parallel.halo import spmm_dist_dynw
 
         return spmm_dist_dynw(adj, weight, x)
+    if adj.sorted_ell is not None and adj.t_sorted_ell is not None:
+        return _spmm_sorted_dynw(x, weight, adj.sorted_ell, adj.t_sorted_ell)
     if adj.ell is not None and adj.t_ell is not None:
         return _spmm_ell_dynw(x, weight, adj.ell, adj.t_ell)
     return _spmm(
@@ -227,7 +281,17 @@ def spmm(
 
         return spmm_dist(adj, x, adj.mesh, axis_name=adj.axis_name)
     if backend == "auto":
-        backend = "ell" if adj.ell is not None else "segment"
+        if adj.sorted_ell is not None:
+            backend = "sorted"
+        else:
+            backend = "ell" if adj.ell is not None else "segment"
+    if backend == "sorted":
+        if adj.sorted_ell is None or adj.t_sorted_ell is None:
+            raise ValueError(
+                "spmm backend 'sorted' needs the reordered layout: build the "
+                "adjacency with build_adjacency(..., reorder=True)"
+            )
+        return _spmm_sorted(x, adj.sorted_ell, adj.t_sorted_ell)
     if backend == "pallas":
         from gnn_tpu.ops.pallas.spmm import spmm_pallas
 
