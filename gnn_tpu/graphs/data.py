@@ -120,11 +120,16 @@ class Data(Module):
         add_self_loops: bool = True,
         norm: Optional[str] = "sym",
         improved: bool = False,
+        reorder=False,
     ) -> Adjacency:
         """One-time prep: COO -> normalized CSR Adjacency for the kernels.
 
         Replaces the reference's on-the-fly ``Data::to_adj`` densification
         (src/graph.cpp:118-129) with O(E) CSR construction + exact gcn_norm.
+
+        ``reorder`` (True/'auto') builds the combine-free sorted layout;
+        the adjacency then speaks a relabeled node space — pair it with
+        ``permute_nodes(adj.perm)`` to move the Data arrays over.
         """
         ei = np.asarray(self.edge_index)
         ew = None if self.edge_attr is None else np.asarray(self.edge_attr)
@@ -139,13 +144,37 @@ class Data(Module):
                 improved=improved,
                 norm=norm,
             )
-            return build_adjacency(ei, jnp.asarray(w), num_nodes=self.num_nodes)
+            return build_adjacency(
+                ei, jnp.asarray(w), num_nodes=self.num_nodes, reorder=reorder
+            )
         if add_self_loops:
             ei, ew = transforms.add_remaining_self_loops(ei, ew, num_nodes=self.num_nodes)
         return build_adjacency(
             ei,
             None if ew is None else jnp.asarray(ew),
             num_nodes=self.num_nodes,
+            reorder=reorder,
+        )
+
+    def permute_nodes(self, perm) -> "Data":
+        """Relabel nodes so new id i = old id ``perm[i]`` (perm: new -> old).
+
+        GNNs are permutation-equivariant, so training on the permuted Data
+        is exact; used with ``to_adjacency(reorder=True)``, whose sorted
+        layout requires features in its relabeled space (``adj.perm``)."""
+        perm = np.asarray(perm, np.int64)
+        old2new = np.empty(self.num_nodes, np.int64)
+        old2new[perm] = np.arange(self.num_nodes)
+        take = lambda a: None if a is None else jnp.asarray(np.asarray(a)[perm])
+        return self.replace(
+            x=take(self.x),
+            y=take(self.y),
+            train_mask=take(self.train_mask),
+            val_mask=take(self.val_mask),
+            test_mask=take(self.test_mask),
+            edge_index=jnp.asarray(
+                old2new[np.asarray(self.edge_index)].astype(np.int32)
+            ),
         )
 
     def to_dense_adj(self) -> jax.Array:

@@ -66,7 +66,18 @@ def _widths(kmax: int = KMAX) -> np.ndarray:
     )
 
 
-def _bucket_key(deg_nonself: np.ndarray, kmax: int = KMAX) -> np.ndarray:
+def _effective_kmax(deg_nonself: np.ndarray, kmax: int = KMAX) -> int:
+    """kmax shrunk to the largest degree (never below the smallest wide
+    width). Shared by the order and the builder so bucket keys agree even
+    when a node's degree equals the shrunk kmax exactly."""
+    widths = _widths(kmax)
+    k = int(
+        min(kmax, max(int(deg_nonself.max()) if len(deg_nonself) else 1, 3 * SUB))
+    )
+    return int(widths[np.searchsorted(widths, k)])
+
+
+def _bucket_key(deg_nonself: np.ndarray, kmax: int) -> np.ndarray:
     """Bucket index per node: -1 for remainder-0 (zero-row) nodes, else the
     index of the smallest layout width >= (deg mod kmax)."""
     widths = _widths(kmax)
@@ -78,9 +89,13 @@ def degree_bucket_order(deg_nonself: np.ndarray, kmax: int = KMAX) -> np.ndarray
     """Node permutation (new -> old) grouping nodes by remainder bucket.
 
     Stable, so relative order within a bucket is preserved. Nodes whose
-    non-self degree is an exact multiple of kmax (including isolated nodes)
-    lead the order as the zeros block."""
-    return np.argsort(_bucket_key(deg_nonself, kmax), kind="stable")
+    non-self degree is an exact multiple of the effective kmax (including
+    isolated nodes) lead the order as the zeros block."""
+    deg_nonself = np.asarray(deg_nonself, np.int64)
+    return np.argsort(
+        _bucket_key(deg_nonself, _effective_kmax(deg_nonself, kmax)),
+        kind="stable",
+    )
 
 
 class NarrowBlock(Module):
@@ -163,11 +178,8 @@ def build_sorted_ell(
     deg_ns = np.bincount(dst_k, minlength=num_nodes)
     rp = np.concatenate([[0], np.cumsum(deg_ns)])
 
+    kmax = _effective_kmax(deg_ns, kmax)
     widths = _widths(kmax)
-    # Shrink kmax to the largest degree, but never below the smallest wide
-    # width (3*SUB): below that no stream/tail machinery engages at all.
-    kmax = int(min(kmax, max(int(deg_ns.max()) if num_nodes else 1, 3 * SUB)))
-    kmax = int(widths[np.searchsorted(widths, kmax)])
     widths = widths[widths <= kmax]
     rem = deg_ns % kmax
     full = deg_ns // kmax

@@ -42,6 +42,11 @@ class TrainConfig:
     batch_size: int = 0  # 0 = full graph
     fanouts: List[int] = field(default_factory=lambda: [10, 5])
     eval_every: int = 10
+    # Degree-bucket node reordering for the combine-free sorted SpMM layout
+    # (graphs/sorted_ell.py; ~1.5x single-chip SpMM): "auto" uses it when
+    # the graph is degree-symmetric, "true"/"false" force it on/off.
+    # Applies to single-chip full-graph training only.
+    reorder: str = "auto"
     checkpoint_dir: str = ""
     checkpoint_every: int = 0  # 0 = only final
     log_file: str = ""

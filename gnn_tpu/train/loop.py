@@ -158,7 +158,17 @@ def fit(
             for s in ("train", "val", "test")
         }
     else:
-        graph = data.to_adjacency(norm="sym")
+        # Single-chip full graph: optionally relabel nodes for the
+        # combine-free sorted layout (exact — GNNs are permutation-
+        # equivariant; metrics/masks are permuted alongside).
+        reorder = {"auto": "auto", "true": True, "false": False}[
+            str(cfg.train.reorder).lower()
+        ]
+        if reorder and cfg.train.batch_size > 0:
+            reorder = False  # sampled minibatches index data.x directly
+        graph = data.to_adjacency(norm="sym", reorder=reorder)
+        if graph.perm is not None:
+            data = data.permute_nodes(np.asarray(graph.perm))
         x_in, y_in = data.x, data.y
         masks = {s: getattr(data, f"{s}_mask") for s in ("train", "val", "test")}
     train_mask_in = masks["train"]

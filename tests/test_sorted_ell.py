@@ -230,3 +230,59 @@ def test_gcn_model_trains_on_sorted_layout():
         params, ost, loss = step(params, ost)
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0]
+
+
+def test_fit_reorder_matches_plain_training():
+    from gnn_tpu.graphs.generate import stochastic_block_model
+    from gnn_tpu.train.config import Config
+    from gnn_tpu.train.loop import fit
+
+    data = stochastic_block_model(num_nodes=250, num_classes=3, seed=2)
+    base = {
+        "train": {"epochs": 20, "eval_every": 10, "reorder": "true"},
+        "model": {"name": "gcn", "hidden": 16, "dropout": 0.0},
+    }
+    _, _, h1 = fit(Config.from_dict(base), data, verbose=False)
+    cfg2 = Config.from_dict(base).apply_overrides(["train.reorder=false"])
+    _, _, h2 = fit(cfg2, data, verbose=False)
+    for a, b in zip(h1, h2):
+        # permutation changes only the float reduction order
+        assert abs(a["loss"] - b["loss"]) < 2e-3
+        assert abs(a["test_acc"] - b["test_acc"]) < 0.02
+
+
+def test_fit_reorder_auto_on_gat():
+    from gnn_tpu.graphs.generate import stochastic_block_model
+    from gnn_tpu.train.config import Config
+    from gnn_tpu.train.loop import fit
+
+    data = stochastic_block_model(num_nodes=250, num_classes=3, seed=3)
+    cfg = Config.from_dict(
+        {
+            "train": {"epochs": 25, "eval_every": 25},
+            "model": {"name": "gat", "hidden": 16, "heads": 2, "dropout": 0.0},
+        }
+    )
+    _, _, h = fit(cfg, data, verbose=False)
+    assert h[-1]["test_acc"] > 0.8
+
+
+def test_degree_exactly_effective_kmax():
+    # star: hub degree 104 == effective kmax (a width multiple of 8), so the
+    # hub's remainder is 0 — order and builder must agree it leads the order
+    N = 120
+    hub_edges = np.stack([np.arange(1, 105), np.full(104, 0)])
+    ei, _ = graphs.to_undirected(hub_edges, num_nodes=N)
+    ei, w = graphs.gcn_norm(ei, num_nodes=N, self_loops=False)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(np.asarray(w, np.float32)), num_nodes=N,
+        layout="ell", reorder=True,
+    )
+    assert int(adj.sorted_ell.tail_node.shape[0]) == 1  # the hub's full row
+    perm = np.asarray(adj.perm)
+    inv = np.empty(N, np.int64)
+    inv[perm] = np.arange(N)
+    x = np.random.default_rng(1).normal(size=(N, 4)).astype(np.float32)
+    ref = _csr(ei, np.asarray(w, np.float32), N) @ x
+    out = np.asarray(spmm(adj, jnp.asarray(x[perm])))[inv]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
