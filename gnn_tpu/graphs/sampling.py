@@ -108,12 +108,16 @@ class NeighborSampler:
         """The constant per-hop bipartite adjacencies, outermost first."""
         if batch_size not in self._adj_cache:
             # hop l (innermost = aggregates into seeds) has n_dst = frontier
-            # size before expansion
-            adjs = []
-            n_dst = batch_size
-            for f in self.fanouts:
-                adjs.append(_hop_adjacency(n_dst, f))
-                n_dst = n_dst * (1 + f)
+            # size before expansion. ensure_compile_time_eval: these are
+            # compile-time constants even when first requested inside a
+            # shard_map trace (where fresh jnp arrays would otherwise be
+            # tracers of that trace, poisoning the cache for later calls).
+            with jax.ensure_compile_time_eval():
+                adjs = []
+                n_dst = batch_size
+                for f in self.fanouts:
+                    adjs.append(_hop_adjacency(n_dst, f))
+                    n_dst = n_dst * (1 + f)
             self._adj_cache[batch_size] = adjs[::-1]  # outermost first
         return self._adj_cache[batch_size]
 

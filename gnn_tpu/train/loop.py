@@ -117,11 +117,12 @@ def fit(
         model = build_model(cfg, data.num_features, num_classes, mkey)
     state = nn.init_state(model) if _needs_state(model) else None
 
-    distributed = cfg.dist.num_parts > 1
-    if distributed and cfg.train.batch_size > 0:
+    dp_sampled = cfg.dist.num_parts > 1 and cfg.train.batch_size > 0
+    distributed = cfg.dist.num_parts > 1 and not dp_sampled
+    if dp_sampled and cfg.train.batch_size % cfg.dist.num_parts:
         raise ValueError(
-            "distributed sampled-minibatch training is not supported yet; "
-            "set dist.num_parts=0 or train.batch_size=0"
+            f"train.batch_size={cfg.train.batch_size} must divide evenly "
+            f"over dist.num_parts={cfg.dist.num_parts} chips"
         )
     if distributed and state is not None:
         raise ValueError(
@@ -190,7 +191,61 @@ def fit(
             start_epoch = int(ckpt.latest_step())
 
     sampled = cfg.train.batch_size > 0
-    if sampled:
+    if sampled and dp_sampled:
+        # Data-parallel sampled minibatches: each chip samples and computes
+        # the loss for batch_size/P seeds inside shard_map; the gradient
+        # psum falls out of shard_map's AD transpose (params are replicated
+        # captures, so their cotangents sum across the 'data' axis). The
+        # sampler is pure jnp with static shapes, so it shards like any
+        # other array program (graphs/sampling.py).
+        from jax.sharding import PartitionSpec as PSpec
+
+        from gnn_tpu.parallel import make_mesh
+
+        n_parts = cfg.dist.num_parts
+        devs = jax.devices()
+        if n_parts > len(devs):
+            raise ValueError(
+                f"dist.num_parts={n_parts} but only {len(devs)} devices"
+            )
+        mesh = make_mesh(
+            (n_parts,), (cfg.dist.axis_name,), devices=devs[:n_parts]
+        )
+        sampler = NeighborSampler(data, cfg.train.fanouts)
+        train_ids = np.nonzero(np.asarray(data.train_mask))[0]
+        x_full, y_full = data.x, data.y
+        spec = PSpec(cfg.dist.axis_name)
+
+        @jax.jit
+        def step(params, opt_state, key, seeds):
+            keys = jax.random.split(key, n_parts)
+
+            def loss_fn(p):
+                m = nn.combine(p, static)
+
+                def local(seeds_l, keys_l):
+                    k = keys_l[0]
+                    nodes, adjs = sampler.sample(k, seeds_l)
+                    logits = m.forward_sampled(
+                        jnp.take(x_full, nodes, axis=0), adjs, key=k
+                    )
+                    return nn.cross_entropy(
+                        logits, jnp.take(y_full, seeds_l)
+                    )[None]
+
+                losses = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(spec, spec),
+                    out_specs=spec,
+                    axis_names={cfg.dist.axis_name},
+                )(seeds, keys)
+                return jnp.mean(losses)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = opt.update(grads, opt_state, params)
+            return optim.apply_updates(params, upd), opt_state, loss
+    elif sampled:
         sampler = NeighborSampler(data, cfg.train.fanouts)
         train_ids = np.nonzero(np.asarray(data.train_mask))[0]
 
