@@ -51,8 +51,13 @@ def build_workload():
     ei, w = graphs.gcn_norm(ei, num_nodes=N, self_loops=True)
     # reorder=True selects the combine-free degree-bucket layout
     # (graphs/sorted_ell.py); x below is already in the relabeled node space
-    # (random iid, so no explicit permutation is needed).
-    adj = graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=N, reorder=True)
+    # (random iid, so no explicit permutation is needed). hub_dense=400
+    # absorbs sources gathered >=400 times into an MXU dense block (f32 —
+    # measured optimal: bf16/larger blocks lose to the [N,H] matmul's
+    # latency, and the f32 break-even degree on this chip is ~400).
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder=True, hub_dense=400
+    )
     x = jnp.asarray(
         np.random.default_rng(1).normal(size=(N, F)).astype(np.float32)
     )

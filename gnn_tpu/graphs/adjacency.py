@@ -145,6 +145,11 @@ class Adjacency(Module):
                 stream_edge=inv_ext[lay.stream_edge],
                 diag_edge=inv_ext[lay.diag_edge],
                 edge_to_slot=lay.edge_to_slot[self.t_perm],
+                dense_eid=(
+                    None
+                    if lay.dense_eid is None
+                    else inv_ext[lay.dense_eid]
+                ),
             )
 
         return Adjacency(
@@ -181,6 +186,8 @@ def build_adjacency(
     layout: str = "auto",
     ell_buckets=None,
     reorder=False,
+    hub_dense: Optional[int] = None,
+    hub_dtype=None,
 ) -> Adjacency:
     """Prepare an :class:`Adjacency` from a COO edge list [2, E].
 
@@ -198,6 +205,13 @@ def build_adjacency(
     degree-symmetric graph (in-degree == out-degree per node, e.g. any
     symmetrized GCN graph); ``True`` raises otherwise, ``"auto"`` silently
     falls back to the unordered layout.
+
+    ``hub_dense`` (requires reorder): sources with non-self out-degree >=
+    this threshold have their edges absorbed into a dense [N, H] MXU block
+    per layout instead of gather slots — hub columns of power-law graphs
+    cost ~zero on the MXU while each gathered slot costs ~2 ns. Static
+    weights only (attention layers need hub_dense=None). ``hub_dtype``
+    (e.g. jnp.bfloat16) halves the dense read at ~0.4% weight rounding.
     """
     ei = np.asarray(edge_index)
     if ei.ndim != 2 or ei.shape[0] != 2:
@@ -221,6 +235,9 @@ def build_adjacency(
 
     # Optional degree-bucket node relabeling for the combine-free layout.
     perm_host = None
+    hot_relabeled = None
+    if hub_dense is not None and not reorder:
+        raise ValueError("hub_dense requires reorder=True/'auto'")
     if reorder:
         ns_mask = src != dst
         deg_in = np.bincount(dst[ns_mask], minlength=num_dst_nodes)
@@ -237,10 +254,27 @@ def build_adjacency(
                 )
             reorder = False
         else:
-            perm_host = degree_bucket_order(deg_in)  # new -> old
+            deg_order = deg_in
+            if hub_dense is not None:
+                hot_old = np.nonzero(deg_in >= hub_dense)[0]
+                if len(hot_old):
+                    # bucket nodes by their COLD in-degree (hot-source edges
+                    # leave the slot tables, so they must not shape buckets)
+                    is_hot = np.zeros(num_dst_nodes, bool)
+                    is_hot[hot_old] = True
+                    deg_order = np.bincount(
+                        dst[ns_mask & ~is_hot[src]], minlength=num_dst_nodes
+                    )
+                else:
+                    hot_old = None
+            else:
+                hot_old = None
+            perm_host = degree_bucket_order(deg_order)  # new -> old
             old2new = np.empty(num_dst_nodes, np.int64)
             old2new[perm_host] = np.arange(num_dst_nodes)
             src, dst = old2new[src], old2new[dst]
+            if hot_old is not None:
+                hot_relabeled = old2new[hot_old]
 
     # Sort by destination (stable in source) for sorted-segment aggregation.
     # O(E + N) native counting sort when the C++ graph-core is available
@@ -274,11 +308,13 @@ def build_adjacency(
     if perm_host is not None and layout == "ell":
         sorted_ell = build_sorted_ell(
             row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
-            edge_weight=w_host,
+            edge_weight=w_host, hot_ids=hot_relabeled, hot_dtype=hub_dtype,
         )
+        # the transpose layout's hot gather-sources are the original hot
+        # DESTINATIONS — the same set, since reorder requires symmetry
         t_sorted_ell = build_sorted_ell(
             t_row_ptr, dst[t_perm], t_perm, num_src_nodes, num_edges,
-            edge_weight=w_host,
+            edge_weight=w_host, hot_ids=hot_relabeled, hot_dtype=hub_dtype,
         )
         layout = "csr"  # skip the generic ELL; sorted layouts replace it
     if layout == "ell":

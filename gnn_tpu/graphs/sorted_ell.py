@@ -129,6 +129,14 @@ class SortedEllLayout(Module):
     num_nodes: int = static_field(default=0)
     num_edges: int = static_field(default=0)
     kmax: int = static_field(default=KMAX)
+    # Hub-dense MXU block (hot_threshold): sources gathered >= threshold
+    # times have their edges moved out of the slot tables into a dense
+    # [N, H] matrix — out += dense_w @ x[hot_ids] rides the MXU at ~zero
+    # marginal cost per absorbed edge. Static-weight layouts only.
+    hot_ids: Optional[jax.Array] = None  # [H] int32 hot source ids
+    dense_w: Optional[jax.Array] = None  # [N, H] hot_dtype
+    dense_eid: Optional[jax.Array] = None  # [n_hot_edges] canonical edge id
+    dense_pos: Optional[jax.Array] = None  # [n_hot_edges] flat N*H position
 
     @property
     def num_slots(self) -> int:
@@ -145,12 +153,20 @@ def build_sorted_ell(
     *,
     edge_weight: Optional[np.ndarray] = None,
     kmax: int = KMAX,
+    hot_ids: Optional[np.ndarray] = None,
+    hot_dtype=None,
 ) -> SortedEllLayout:
     """Build the layout from a dst-CSR over ALREADY degree-bucket-ordered
     node ids (``degree_bucket_order``). ``col_of_edge``/``edge_ids`` are the
     per-edge source id and canonical edge id in dst-sorted order. Self-loops
     (col == row) are extracted into the diagonal. Raises if the required
-    bucket contiguity does not hold (i.e. nodes were not reordered)."""
+    bucket contiguity does not hold (i.e. nodes were not reordered).
+
+    ``hot_ids``: source nodes whose (non-self) edges move into the hub-dense
+    MXU block instead of slot tables — the node ORDER must then come from
+    the cold degrees (``build_adjacency(hub_dense=...)`` keeps this
+    consistent). ``hot_dtype`` (default f32; bf16 halves the dense read at
+    ~0.4% weight rounding) is the dense block's storage dtype."""
     row_ptr = np.asarray(row_ptr, np.int64)
     col = np.asarray(col_of_edge, np.int64)
     eid = np.asarray(edge_ids, np.int64)
@@ -175,6 +191,30 @@ def build_sorted_ell(
 
     keep = ~is_diag
     col_k, eid_k, w_k, dst_k = col[keep], eid[keep], w[keep], dst[keep]
+
+    # hub-dense split: hot-source edges leave the slot tables for D [N, H]
+    hot_arrs = (None, None, None, None)
+    if hot_ids is not None and len(hot_ids):
+        hot_ids = np.asarray(hot_ids, np.int64)
+        H = len(hot_ids)
+        hot_rank = np.full(num_nodes, -1, np.int64)
+        hot_rank[hot_ids] = np.arange(H)
+        hmask = hot_rank[col_k] >= 0
+        if hmask.any():
+            dpos = dst_k[hmask] * H + hot_rank[col_k[hmask]]
+            D = np.zeros(num_nodes * H, np.float32)
+            np.add.at(D, dpos, w_k[hmask])
+            hot_arrs = (
+                jnp.asarray(hot_ids.astype(np.int32)),
+                jnp.asarray(D.reshape(num_nodes, H)).astype(
+                    jnp.float32 if hot_dtype is None else hot_dtype
+                ),
+                jnp.asarray(eid_k[hmask].astype(np.int32)),
+                jnp.asarray(dpos.astype(np.int64)),
+            )
+            col_k, eid_k, w_k, dst_k = (
+                col_k[~hmask], eid_k[~hmask], w_k[~hmask], dst_k[~hmask]
+            )
     deg_ns = np.bincount(dst_k, minlength=num_nodes)
     rp = np.concatenate([[0], np.cumsum(deg_ns)])
 
@@ -301,6 +341,10 @@ def build_sorted_ell(
         num_nodes=int(num_nodes),
         num_edges=int(num_edges),
         kmax=int(kmax),
+        hot_ids=hot_arrs[0],
+        dense_w=hot_arrs[1],
+        dense_eid=hot_arrs[2],
+        dense_pos=hot_arrs[3],
     )
 
 
@@ -319,7 +363,7 @@ def refresh_sorted_weights(
                 [weight.astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
             )
         )
-    return lay.replace(
+    changes = dict(
         narrow=tuple(
             b.replace(w=jnp.take(w_ext, b.slot_to_edge)) for b in lay.narrow
         ),
@@ -330,6 +374,14 @@ def refresh_sorted_weights(
             0.0,
         ),
     )
+    if lay.dense_w is not None:
+        H = lay.dense_w.shape[1]
+        D = jnp.zeros((lay.num_nodes * H,), jnp.float32)
+        D = D.at[lay.dense_pos].add(jnp.take(w_ext, lay.dense_eid))
+        changes["dense_w"] = D.reshape(lay.num_nodes, H).astype(
+            lay.dense_w.dtype
+        )
+    return lay.replace(**changes)
 
 
 def _unrolled(x, col2d, w2d):
@@ -349,6 +401,12 @@ def sorted_ell_matvec(
     the differentiable-attention path."""
     F = x.shape[1]
     if weight is not None:
+        if lay.dense_w is not None:
+            raise ValueError(
+                "dynamic per-edge weights are not supported on a hub-dense "
+                "layout (the dense block's weights are baked); build the "
+                "adjacency with hub_dense=None for attention layers"
+            )
         w_ext = jnp.concatenate(
             [weight.astype(jnp.float32), jnp.zeros((1,), jnp.float32)]
         )
@@ -369,6 +427,12 @@ def sorted_ell_matvec(
     out = jnp.concatenate(parts + sliced, axis=0)
     dw = lay.diag_w if weight is None else jnp.take(w_ext, lay.diag_edge)
     out = out + dw[:, None].astype(x.dtype) * x
+    if lay.dense_w is not None:
+        # hub-dense: MXU matmul against the hot sources' feature rows
+        xh = jnp.take(x, lay.hot_ids, axis=0).astype(lay.dense_w.dtype)
+        out = out + jnp.dot(
+            lay.dense_w, xh, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     T = int(lay.tail_node.shape[0])
     if T:
         tails = jnp.sum(
@@ -386,6 +450,11 @@ def sorted_ell_edge_grad(
 ) -> jax.Array:
     """dw_e = <g[dst_e], x[src_e]> (an SDDMM) over the sorted layout, mapped
     back to canonical edge order by one gather — never a scatter."""
+    if lay.dense_w is not None:
+        raise ValueError(
+            "edge gradients are not supported on a hub-dense layout; build "
+            "the adjacency with hub_dense=None for differentiable weights"
+        )
     flats = []
     row = lay.n_zero
     for b in lay.narrow:

@@ -674,3 +674,20 @@ def test_tensor_parallel_gcn_matches_single_chip(rng):
     # the TP params really are distributed over 'model'
     w0 = jax.tree_util.tree_leaves(tp_grads)[0]
     assert len(w0.sharding.device_set) >= 2
+
+
+def test_scaling_accounting_matches_partitioner(rng):
+    """benchmarks/scaling.py's exact comm accounting must agree with what
+    the real partitioner plans to ship (the padded pair size h_max)."""
+    from benchmarks.scaling import partition_comm
+
+    ei, w, x, n = make_graph(rng, n=96, e=500)
+    ei, _ = graphs.to_undirected(ei, num_nodes=n)  # symmetric: fwd == bwd
+    ei, w = graphs.gcn_norm(ei, num_nodes=n)
+    P_ = 4
+    dist = partition_graph(ei, w, num_nodes=n, num_parts=P_, halo="alltoall")
+    src = np.asarray(ei[0], np.int64)
+    dst = np.asarray(ei[1], np.int64)
+    acc = partition_comm(src, dst, n, P_)
+    assert acc["n_max"] == dist.n_max
+    assert acc["h_max"] == dist.h_max
