@@ -184,10 +184,12 @@ def gcn_norm(
     w = np.ones(ei.shape[1]) if edge_weight is None else np.asarray(edge_weight, np.float64)
     deg = degree(ei, num_nodes, w, kind="in")
     if norm == "sym":
-        dinv = np.where(deg > 0, deg**-0.5, 0.0)
+        with np.errstate(divide="ignore"):
+            dinv = np.where(deg > 0, deg**-0.5, 0.0)
         w = dinv[ei[1]] * w * dinv[ei[0]]
     elif norm in ("rw", "row"):
-        dinv = np.where(deg > 0, 1.0 / deg, 0.0)
+        with np.errstate(divide="ignore"):
+            dinv = np.where(deg > 0, 1.0 / deg, 0.0)
         w = dinv[ei[1]] * w
     elif norm in (None, "none"):
         pass
