@@ -81,6 +81,11 @@ class Adjacency(Module):
     sorted_ell: Optional[SortedEllLayout] = None
     t_sorted_ell: Optional[SortedEllLayout] = None
     perm: Optional[jax.Array] = None  # [N] int32 new -> old node id
+    # Cluster-packed block-diagonal layout (graphs/blocked.py), present when
+    # built with reorder='cluster': intra-community aggregation rides the
+    # MXU, only the inter-community remainder pays per-edge gathers.
+    blocked: object = None  # Optional[BlockedLayout]
+    t_blocked: object = None
     num_src_nodes: int = static_field(default=0)
     num_dst_nodes: int = static_field(default=0)
 
@@ -92,6 +97,8 @@ class Adjacency(Module):
         """Swap edge weights. Refreshes the baked ELL slot weights — call
         outside jit (one scalar gather per slot); for *differentiable*
         per-edge weights use ops.spmm_edge_weighted instead."""
+        from gnn_tpu.graphs.blocked import refresh_blocked_weights
+
         return self.replace(
             weight=weight,
             ell=_refresh_ell_weights(self.ell, weight, self.num_edges),
@@ -106,6 +113,18 @@ class Adjacency(Module):
                 if self.t_sorted_ell is None
                 else refresh_sorted_weights(
                     self.t_sorted_ell, weight, self.num_edges
+                )
+            ),
+            blocked=(
+                None
+                if self.blocked is None
+                else refresh_blocked_weights(self.blocked, weight, self.num_edges)
+            ),
+            t_blocked=(
+                None
+                if self.t_blocked is None
+                else refresh_blocked_weights(
+                    self.t_blocked, weight, self.num_edges
                 )
             ),
         )
@@ -152,6 +171,14 @@ class Adjacency(Module):
                 ),
             )
 
+        def remap_blocked(lay):
+            if lay is None:
+                return None
+            inv32 = inv.astype(jnp.int32)
+            return lay.replace(
+                diag_eid=inv32[lay.diag_eid], rem_eid=inv32[lay.rem_eid]
+            )
+
         return Adjacency(
             src=self.dst[self.t_perm],
             dst=self.src[self.t_perm],
@@ -165,6 +192,8 @@ class Adjacency(Module):
             t_chunk_plan=self.chunk_plan,
             sorted_ell=remap_sorted(self.t_sorted_ell),
             t_sorted_ell=remap_sorted(self.sorted_ell),
+            blocked=remap_blocked(self.t_blocked),
+            t_blocked=remap_blocked(self.blocked),
             perm=self.perm,
             num_src_nodes=self.num_dst_nodes,
             num_dst_nodes=self.num_src_nodes,
@@ -188,6 +217,11 @@ def build_adjacency(
     reorder=False,
     hub_dense: Optional[int] = None,
     hub_dtype=None,
+    block_rows: int = 256,
+    block_dtype=None,
+    cluster_labels=None,
+    cluster_iters: int = 10,
+    cluster_seed: int = 0,
 ) -> Adjacency:
     """Prepare an :class:`Adjacency` from a COO edge list [2, E].
 
@@ -236,6 +270,43 @@ def build_adjacency(
     # Optional degree-bucket node relabeling for the combine-free layout.
     perm_host = None
     hot_relabeled = None
+    cluster_mode = False
+    if reorder == "cluster":
+        # Community-packed block-diagonal layout (graphs/blocked.py).
+        if num_src_nodes != num_dst_nodes:
+            raise ValueError("reorder='cluster' needs a square adjacency")
+        if hub_dense is not None:
+            raise ValueError(
+                "hub_dense applies to the degree-bucket layout only; the "
+                "blocked layout absorbs dense structure into its diagonal "
+                "blocks instead"
+            )
+        from gnn_tpu import native as _native
+        from gnn_tpu.graphs.blocked import cluster_pack_order
+
+        R = int(block_rows)
+        if cluster_labels is None:
+            order0, rp0 = _native.sort_edges_csr(src, dst, num_dst_nodes)
+            labels, _ = _native.label_propagation(
+                rp0,
+                src[order0],
+                max_size=R,
+                n_iters=cluster_iters,
+                seed=cluster_seed,
+            )
+        else:
+            labels = np.asarray(cluster_labels, np.int64)
+            if labels.shape != (num_dst_nodes,):
+                raise ValueError(
+                    f"cluster_labels must be [{num_dst_nodes}], got "
+                    f"{labels.shape}"
+                )
+        perm_host = cluster_pack_order(labels, R)
+        old2new = np.empty(num_dst_nodes, np.int64)
+        old2new[perm_host] = np.arange(num_dst_nodes)
+        src, dst = old2new[src], old2new[dst]
+        cluster_mode = True
+        reorder = False
     if hub_dense is not None and not reorder:
         raise ValueError("hub_dense requires reorder=True/'auto'")
     if reorder:
@@ -305,7 +376,20 @@ def build_adjacency(
         layout = "ell" if num_edges >= 2048 else "csr"
     ell = t_ell = None
     sorted_ell = t_sorted_ell = None
-    if perm_host is not None and layout == "ell":
+    blocked = t_blocked = None
+    if cluster_mode:
+        from gnn_tpu.graphs.blocked import build_blocked
+
+        blocked = build_blocked(
+            src, dst, np.arange(num_edges), num_dst_nodes, num_edges,
+            edge_weight=w_host, rows=int(block_rows), block_dtype=block_dtype,
+        )
+        t_blocked = build_blocked(
+            dst[t_perm], src[t_perm], t_perm, num_src_nodes, num_edges,
+            edge_weight=w_host, rows=int(block_rows), block_dtype=block_dtype,
+        )
+        layout = "csr"  # block-diagonal + remainder replaces the ELLs
+    if perm_host is not None and layout == "ell" and not cluster_mode:
         sorted_ell = build_sorted_ell(
             row_ptr, src, np.arange(num_edges), num_dst_nodes, num_edges,
             edge_weight=w_host, hot_ids=hot_relabeled, hot_dtype=hub_dtype,
@@ -358,6 +442,8 @@ def build_adjacency(
         t_chunk_plan=t_chunk_plan,
         sorted_ell=sorted_ell,
         t_sorted_ell=t_sorted_ell,
+        blocked=blocked,
+        t_blocked=t_blocked,
         perm=(
             None
             if perm_host is None

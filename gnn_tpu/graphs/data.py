@@ -121,6 +121,7 @@ class Data(Module):
         norm: Optional[str] = "sym",
         improved: bool = False,
         reorder=False,
+        **build_kwargs,
     ) -> Adjacency:
         """One-time prep: COO -> normalized CSR Adjacency for the kernels.
 
@@ -128,7 +129,10 @@ class Data(Module):
         (src/graph.cpp:118-129) with O(E) CSR construction + exact gcn_norm.
 
         ``reorder`` (True/'auto') builds the combine-free sorted layout;
-        the adjacency then speaks a relabeled node space — pair it with
+        ``reorder='cluster'`` the community-packed block-diagonal one (extra
+        knobs — ``block_rows``, ``block_dtype``, ... — pass through to
+        :func:`~gnn_tpu.graphs.adjacency.build_adjacency`). Either way the
+        adjacency then speaks a relabeled node space — pair it with
         ``permute_nodes(adj.perm)`` to move the Data arrays over.
         """
         ei = np.asarray(self.edge_index)
@@ -145,7 +149,11 @@ class Data(Module):
                 norm=norm,
             )
             return build_adjacency(
-                ei, jnp.asarray(w), num_nodes=self.num_nodes, reorder=reorder
+                ei,
+                jnp.asarray(w),
+                num_nodes=self.num_nodes,
+                reorder=reorder,
+                **build_kwargs,
             )
         if add_self_loops:
             ei, ew = transforms.add_remaining_self_loops(ei, ew, num_nodes=self.num_nodes)
@@ -154,6 +162,7 @@ class Data(Module):
             None if ew is None else jnp.asarray(ew),
             num_nodes=self.num_nodes,
             reorder=reorder,
+            **build_kwargs,
         )
 
     def permute_nodes(self, perm) -> "Data":

@@ -26,6 +26,7 @@ __all__ = [
     "degrees",
     "sample_neighbors_host",
     "partition_by_edges",
+    "label_propagation",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -82,6 +83,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.partition_by_edges.restype = None
         lib.partition_by_edges.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+        ]
+        lib.label_propagation.restype = ctypes.c_int64
+        lib.label_propagation.argtypes = [
+            ctypes.c_int64, i64p, i64p, f32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_uint64, i64p,
         ]
         _lib = lib
         return _lib
@@ -180,6 +186,93 @@ def sample_neighbors_host(
         else:
             out[i] = col[lo + rng.choice(deg, fanout, replace=False)]
     return out
+
+
+def label_propagation(
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    *,
+    weight: Optional[np.ndarray] = None,
+    n_iters: int = 10,
+    max_size: int = 0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """Community detection by size-capped label propagation over a CSR
+    graph (labels init to node ids; each sweep adopts the neighborhood's
+    plurality label, skipping communities already at ``max_size``).
+
+    Returns ``(label [N] int64 compacted to 0..k-1, k)``. The numpy
+    fallback runs the same sweeps vectorized per-node-batch; results may
+    differ between backends (both are valid clusterings — label
+    propagation is seed-dependent by nature)."""
+    row_ptr, col = _i64(row_ptr), _i64(col)
+    n_nodes = len(row_ptr) - 1
+    lib = _load()
+    if lib is not None:
+        out = np.empty(n_nodes, np.int64)
+        w = None if weight is None else np.ascontiguousarray(weight, np.float32)
+        k = lib.label_propagation(
+            n_nodes, _ptr(row_ptr, ctypes.c_int64), _ptr(col, ctypes.c_int64),
+            None if w is None else _ptr(w, ctypes.c_float),
+            n_iters, max_size, ctypes.c_uint64(seed),
+            _ptr(out, ctypes.c_int64),
+        )
+        return out, int(k)
+    # numpy fallback: sequential sweeps with a per-node plurality vote.
+    rng = np.random.default_rng(seed)
+    label = np.arange(n_nodes, dtype=np.int64)
+    size = np.ones(n_nodes, np.int64)
+    w = np.ones(len(col), np.float64) if weight is None else np.asarray(
+        weight, np.float64
+    )
+    dst_of = np.repeat(np.arange(n_nodes), np.diff(row_ptr))
+    for _ in range(n_iters):
+        moves = 0
+        for v in rng.permutation(n_nodes):
+            lo, hi = row_ptr[v], row_ptr[v + 1]
+            if lo == hi:
+                continue
+            nb = col[lo:hi]
+            keep = nb != v
+            if not keep.any():
+                continue
+            labs, inv = np.unique(label[nb[keep]], return_inverse=True)
+            votes = np.bincount(inv, weights=w[lo:hi][keep])
+            cur = label[v]
+            cur_votes = votes[labs == cur][0] if (labs == cur).any() else 0.0
+            ok = (
+                np.ones(len(labs), bool)
+                if max_size <= 0
+                else (size[labs] < max_size) | (labs == cur)
+            )
+            if not ok.any():
+                continue
+            # plurality with smallest-label tie-break among allowed labels
+            vmask = np.where(ok, votes, -np.inf)
+            best = labs[np.lexsort((labs, -vmask))[0]]
+            if vmask[labs == best][0] > cur_votes or (
+                vmask[labs == best][0] == cur_votes and best < cur
+            ):
+                if best != cur:
+                    size[cur] -= 1
+                    size[best] += 1
+                    label[v] = best
+                    moves += 1
+        if moves == 0:
+            break
+    del dst_of
+    _, compact = np.unique(label, return_inverse=True)
+    # re-id in order of first appearance by node id (matches native)
+    first = {}
+    out = np.empty(n_nodes, np.int64)
+    k = 0
+    for v in range(n_nodes):
+        l = int(compact[v])
+        if l not in first:
+            first[l] = k
+            k += 1
+        out[v] = first[l]
+    return out, k
 
 
 def partition_by_edges(row_ptr: np.ndarray, num_parts: int) -> np.ndarray:

@@ -132,4 +132,76 @@ void partition_by_edges(int64_t n_nodes, int64_t n_parts,
   boundaries[n_parts] = n_nodes;
 }
 
+// Community detection by (size-capped) synchronous-ish label propagation
+// over a CSR graph. Labels start as node ids; each sweep visits nodes in a
+// seeded random order and adopts the most frequent label among neighbors
+// (ties -> smallest label; weights supported). A community stops absorbing
+// nodes once it reaches `max_size` (cap <= 0 disables), which keeps the
+// discovered communities packable into fixed device windows.
+// out_label [n_nodes]; returns the number of distinct labels.
+int64_t label_propagation(int64_t n_nodes, const int64_t* row_ptr,
+                          const int64_t* col, const float* weight,
+                          int64_t n_iters, int64_t max_size,
+                          uint64_t rng_seed, int64_t* out_label) {
+  std::vector<int64_t> label(n_nodes);
+  std::vector<int64_t> size(n_nodes, 1);
+  for (int64_t v = 0; v < n_nodes; ++v) label[v] = v;
+  std::vector<int64_t> order(n_nodes);
+  for (int64_t v = 0; v < n_nodes; ++v) order[v] = v;
+  // Sparse per-node vote table: touched labels tracked for O(deg) reset.
+  std::vector<double> votes(n_nodes, 0.0);
+  std::vector<int64_t> touched;
+  std::mt19937_64 rng(rng_seed);
+  for (int64_t it = 0; it < n_iters; ++it) {
+    // Fisher-Yates shuffle of the visit order per sweep.
+    for (int64_t i = n_nodes - 1; i > 0; --i) {
+      int64_t j = static_cast<int64_t>(rng() % (i + 1));
+      std::swap(order[i], order[j]);
+    }
+    int64_t moves = 0;
+    for (int64_t oi = 0; oi < n_nodes; ++oi) {
+      int64_t v = order[oi];
+      int64_t lo = row_ptr[v], hi = row_ptr[v + 1];
+      if (lo == hi) continue;
+      touched.clear();
+      for (int64_t e = lo; e < hi; ++e) {
+        int64_t u = col[e];
+        if (u == v) continue;
+        int64_t lu = label[u];
+        if (votes[lu] == 0.0) touched.push_back(lu);
+        votes[lu] += weight ? static_cast<double>(weight[e]) : 1.0;
+      }
+      int64_t best = label[v];
+      double best_votes = votes[best];  // 0 if no neighbor shares it
+      for (int64_t lu : touched) {
+        if (lu == label[v]) continue;
+        bool full = max_size > 0 && size[lu] >= max_size;
+        if (!full &&
+            (votes[lu] > best_votes ||
+             (votes[lu] == best_votes && lu < best))) {
+          best = lu;
+          best_votes = votes[lu];
+        }
+      }
+      for (int64_t lu : touched) votes[lu] = 0.0;
+      if (best != label[v]) {
+        size[label[v]]--;
+        size[best]++;
+        label[v] = best;
+        ++moves;
+      }
+    }
+    if (moves == 0) break;
+  }
+  // Compact labels to 0..k-1 (order of first appearance by node id).
+  std::vector<int64_t> remap(n_nodes, -1);
+  int64_t k = 0;
+  for (int64_t v = 0; v < n_nodes; ++v) {
+    int64_t l = label[v];
+    if (remap[l] < 0) remap[l] = k++;
+    out_label[v] = remap[l];
+  }
+  return k;
+}
+
 }  // extern "C"

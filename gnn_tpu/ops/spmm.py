@@ -131,6 +131,33 @@ def _ell_edge_grad(ell, g_out, x):
     return jnp.take(flat, ell.edge_to_slot)
 
 
+# -- cluster-blocked fast path; see graphs/blocked.py ------------------------
+
+
+@jax.custom_vjp
+def _spmm_blocked(x, lay, t_lay):
+    """Static-weight SpMM over the cluster-packed block-diagonal layout:
+    intra-community edges aggregate as one batched MXU matmul, the
+    inter-community remainder rides the one-hot segment-sum kernel."""
+    from gnn_tpu.graphs.blocked import blocked_matvec
+
+    return blocked_matvec(lay, x)
+
+
+def _spmm_blocked_fwd(x, lay, t_lay):
+    return _spmm_blocked(x, lay, t_lay), (lay, t_lay)
+
+
+def _spmm_blocked_bwd(res, g):
+    from gnn_tpu.graphs.blocked import blocked_matvec
+
+    lay, t_lay = res
+    return blocked_matvec(t_lay, g), None, None
+
+
+_spmm_blocked.defvjp(_spmm_blocked_fwd, _spmm_blocked_bwd)
+
+
 # -- sorted (combine-free) fast path; see graphs/sorted_ell.py ---------------
 
 
@@ -281,10 +308,20 @@ def spmm(
 
         return spmm_dist(adj, x, adj.mesh, axis_name=adj.axis_name)
     if backend == "auto":
-        if adj.sorted_ell is not None:
+        if adj.blocked is not None:
+            backend = "blocked"
+        elif adj.sorted_ell is not None:
             backend = "sorted"
         else:
             backend = "ell" if adj.ell is not None else "segment"
+    if backend == "blocked":
+        if adj.blocked is None or adj.t_blocked is None:
+            raise ValueError(
+                "spmm backend 'blocked' needs the cluster-packed layout: "
+                "build the adjacency with build_adjacency(..., "
+                "reorder='cluster')"
+            )
+        return _spmm_blocked(x, adj.blocked, adj.t_blocked)
     if backend == "sorted":
         if adj.sorted_ell is None or adj.t_sorted_ell is None:
             raise ValueError(

@@ -1,0 +1,168 @@
+"""Tests for the cluster-packed block-diagonal SpMM layout (graphs/blocked.py).
+
+Oracle pattern per SURVEY.md §4: compute through the framework, recompute
+with scipy dense-sparse arithmetic, compare elementwise.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy import sparse as sp
+
+from gnn_tpu import graphs, native
+from gnn_tpu.graphs.blocked import cluster_pack_order
+from gnn_tpu.graphs.generate import stochastic_block_model
+from gnn_tpu.ops import spmm
+
+
+def _clustered_graph(N=600, k=12, seed=0, self_loops=True):
+    data = stochastic_block_model(
+        num_nodes=N, num_classes=k, seed=seed, p_in=0.12, p_out=0.004
+    )
+    ei = np.asarray(data.edge_index)
+    ei, w = graphs.gcn_norm(ei, num_nodes=N, self_loops=self_loops)
+    return ei, np.asarray(w, np.float32)
+
+
+def _csr(ei, w, N):
+    return sp.coo_matrix(
+        (w, (np.asarray(ei[1]), np.asarray(ei[0]))), shape=(N, N)
+    ).tocsr()
+
+
+def test_cluster_pack_order_is_permutation_and_groups_labels():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 37, 500)
+    perm = cluster_pack_order(labels, rows=64)
+    assert sorted(perm.tolist()) == list(range(500))
+    # every label's nodes appear in at most ceil(size/64)+1 contiguous runs
+    lab_new = labels[perm]
+    for l in np.unique(labels):
+        pos = np.nonzero(lab_new == l)[0]
+        runs = 1 + int(np.sum(np.diff(pos) > 1))
+        size = len(pos)
+        assert runs <= -(-size // 64) + 1, (l, runs, size)
+
+
+def test_label_propagation_recovers_sbm_blocks():
+    N, k = 400, 4
+    data = stochastic_block_model(num_nodes=N, num_classes=k, seed=3)
+    ei = np.asarray(data.edge_index)
+    order, rp = native.sort_edges_csr(ei[0], ei[1], N)
+    labels, nk = native.label_propagation(rp, ei[0][order], n_iters=10, seed=1)
+    # purity vs the generator's ground-truth block of each node
+    truth = np.asarray(data.y)
+    pur = 0
+    for c in range(k):
+        vals, counts = np.unique(labels[truth == c], return_counts=True)
+        pur += int(counts.max())
+    assert pur / N > 0.9
+
+
+@pytest.mark.parametrize("block_rows", [32, 64])
+def test_blocked_spmm_matches_dense_oracle(block_rows):
+    N = 600
+    ei, w = _clustered_graph(N=N, seed=1)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder="cluster",
+        block_rows=block_rows,
+    )
+    assert adj.blocked is not None and adj.perm is not None
+    assert adj.blocked.num_dense_edges > 0
+    perm = np.asarray(adj.perm)
+    A = _csr(ei, w, N)[perm][:, perm]
+    x = np.random.default_rng(2).normal(size=(N, 24)).astype(np.float32)
+    out = np.asarray(spmm(adj, jnp.asarray(x)))
+    np.testing.assert_allclose(out, A @ x, rtol=2e-4, atol=2e-5)
+
+
+def test_blocked_captures_most_sbm_edges():
+    N = 600
+    ei, w = _clustered_graph(N=N, k=12, seed=4)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder="cluster", block_rows=64
+    )
+    lay = adj.blocked
+    frac = lay.num_dense_edges / (lay.num_dense_edges + lay.num_rem_edges)
+    # 12 communities of ~50 nodes pack into 64-row windows; the intra
+    # fraction of this SBM is ~0.75+, and packing must capture most of it
+    assert frac > 0.6, frac
+
+
+def test_blocked_grad_matches_segment_backend():
+    N = 320
+    ei, w = _clustered_graph(N=N, k=8, seed=5)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder="cluster", block_rows=32
+    )
+    perm = np.asarray(adj.perm)
+    # segment-backend oracle on the SAME permuted graph
+    old2new = np.empty(N, np.int64)
+    old2new[perm] = np.arange(N)
+    ei_p = old2new[np.asarray(ei)]
+    adj_seg = graphs.build_adjacency(ei_p, jnp.asarray(w), num_nodes=N)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(N, 16)).astype(np.float32))
+    ct = jnp.asarray(np.random.default_rng(4).normal(size=(N, 16)).astype(np.float32))
+
+    g_blocked = jax.grad(lambda x: jnp.sum(spmm(adj, x) ** 2 * ct))(x)
+    g_seg = jax.grad(
+        lambda x: jnp.sum(spmm(adj_seg, x, backend="segment") ** 2 * ct)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_blocked), np.asarray(g_seg), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_blocked_transpose_and_weight_swap():
+    N = 320
+    ei, w = _clustered_graph(N=N, k=8, seed=6)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder="cluster", block_rows=32
+    )
+    perm = np.asarray(adj.perm)
+    A = _csr(ei, w, N)[perm][:, perm]
+    x = np.random.default_rng(5).normal(size=(N, 8)).astype(np.float32)
+    # transpose
+    out_t = np.asarray(spmm(adj.transpose(), jnp.asarray(x)))
+    np.testing.assert_allclose(out_t, A.T @ x, rtol=2e-4, atol=2e-5)
+    # weight swap: doubled weights double the output (swap is in the
+    # adjacency's canonical dst-sorted edge order)
+    w2 = np.asarray(adj.weight) * 2.0
+    adj2 = adj.with_weight(jnp.asarray(w2))
+    out2 = np.asarray(spmm(adj2, jnp.asarray(x)))
+    np.testing.assert_allclose(
+        out2, 2.0 * np.asarray(spmm(adj, jnp.asarray(x))), rtol=1e-5
+    )
+
+
+def test_blocked_gcn_model_trains():
+    from gnn_tpu import nn, optim
+    from gnn_tpu.models import GCN
+
+    data = stochastic_block_model(num_nodes=256, num_classes=4, seed=9)
+    adj = data.to_adjacency(norm="sym", reorder="cluster", block_rows=32)
+    data_p = data.permute_nodes(np.asarray(adj.perm))
+    model = GCN(data.num_features, 32, 4, key=jax.random.PRNGKey(0), dropout=0.0)
+    params, static = nn.partition(model)
+    opt = optim.adam(1e-2)
+    ost = opt.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def lf(p):
+            logits = nn.combine(p, static)(data_p.x, adj)
+            return nn.cross_entropy(logits, data_p.y, data_p.train_mask)
+
+        l, g = jax.value_and_grad(lf)(p)
+        u, o = opt.update(g, o, p)
+        return optim.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(40):
+        params, ost, loss = step(params, ost)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+    logits = nn.inference_mode(nn.combine(params, static))(data_p.x, adj)
+    acc = float(nn.accuracy(logits, data_p.y, data_p.test_mask))
+    assert acc > 0.8, acc
