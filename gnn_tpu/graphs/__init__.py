@@ -22,11 +22,13 @@ from gnn_tpu.graphs.transforms import (
     gcn_norm,
     degree,
 )
+from gnn_tpu.graphs.blocked import cluster_order
 from gnn_tpu.graphs.data import Data, Batch, TRAIN, VAL, TEST
 
 __all__ = [
     "Adjacency",
     "build_adjacency",
+    "cluster_order",
     "edge_list",
     "to_dense_adj",
     "dense_to_edge_list",

@@ -45,6 +45,7 @@ from gnn_tpu.nn.module import Module, static_field
 
 __all__ = [
     "BlockedLayout",
+    "cluster_order",
     "cluster_pack_order",
     "build_blocked",
     "blocked_matvec",
@@ -79,6 +80,37 @@ class BlockedLayout(Module):
     @property
     def num_rem_edges(self) -> int:
         return int(self.rem_src.shape[0])
+
+
+def cluster_order(
+    edge_index,
+    num_nodes: int,
+    *,
+    max_size: int = 0,
+    n_iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """Node permutation (new -> old) grouping nodes by discovered community
+    (label propagation, native graph-core), communities in node-id order.
+
+    The locality primitive behind both fast paths: feed it to
+    ``build_adjacency(reorder='cluster')`` windows (done internally there)
+    or apply it BEFORE ``partition_graph`` so the contiguous node-range
+    partition cuts between communities instead of through them — the halo
+    (and hence all_to_all bytes) shrinks toward the graph's inter-community
+    edge fraction (docs/SCALING.md's second table)."""
+    from gnn_tpu import native
+
+    ei = np.asarray(edge_index)
+    order0, rp0 = native.sort_edges_csr(ei[0], ei[1], num_nodes)
+    labels, _ = native.label_propagation(
+        rp0,
+        ei[0].astype(np.int64)[order0],
+        max_size=max_size,
+        n_iters=n_iters,
+        seed=seed,
+    )
+    return np.argsort(labels, kind="stable")
 
 
 def cluster_pack_order(labels: np.ndarray, rows: int) -> np.ndarray:

@@ -121,8 +121,8 @@ def _kernel(
     local_ref,  # [1, C] block of the local-row table
     msg_hbm,
     out_ref,
-    msg_vmem,
-    sem,
+    msg_vmem,  # [2, C, F] double buffer
+    sem,  # [2] DMA semaphores
     *,
     chunk: int,
     rows: int,
@@ -130,22 +130,39 @@ def _kernel(
     precision,
 ):
     g = pl.program_id(0)
-    start = pl.multiple_of(start_ref[g], 8)  # plan guarantees alignment
-    cp = pltpu.make_async_copy(
-        msg_hbm.at[pl.ds(start, chunk), :], msg_vmem, sem
-    )
-    cp.start()
-    cp.wait()
+    n_g = pl.num_programs(0)
+
+    def dma(slot, gg):
+        # plan guarantees 8-alignment of every start
+        return pltpu.make_async_copy(
+            msg_hbm.at[pl.ds(pl.multiple_of(start_ref[gg], 8), chunk), :],
+            msg_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    # Double-buffered chunk pipeline: this step's DMA was started by the
+    # previous step (or the warm-up below); start the NEXT chunk's DMA
+    # before waiting so the copy engine runs under the MXU work.
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        dma((g + 1) % 2, g + 1).start()
+
+    slot = g % 2
+    dma(slot, g).wait()
 
     local = local_ref[g % 8, :]  # [C]; -1 never matches a row id
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
     dn = (((1,), (0,)), ((), ()))
+    m = msg_vmem[slot]
     if precision == "bf16x2" and msg_vmem.dtype == jnp.float32:
         # The one-hot side is bf16-exact; only the messages need more
         # mantissa. Split msg = hi + lo (two bf16 MXU passes) instead of
         # Mosaic's HIGHEST (six passes) for f32-grade accuracy at 3x speed.
         onehot = (local[None, :] == row).astype(jnp.bfloat16)
-        m = msg_vmem[:, :]
         hi = m.astype(jnp.bfloat16)
         lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         contrib = jax.lax.dot_general(
@@ -157,7 +174,7 @@ def _kernel(
         onehot = (local[None, :] == row).astype(msg_vmem.dtype)
         contrib = jax.lax.dot_general(
             onehot,
-            msg_vmem[:, :],
+            m,
             dimension_numbers=dn,
             preferred_element_type=acc_dtype,
             precision=precision,
@@ -215,8 +232,8 @@ def segment_sum_sorted(
             (R, F), lambda g, start, window, first: (window[g], 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, F), msg.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, C, F), msg.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     if precision is None:

@@ -60,11 +60,16 @@ class DistConfig:
     ``num_parts``: 0/1 = single chip; N > 1 partitions nodes + edges over an
     N-way ``data`` mesh axis (N must divide into the available devices).
     ``halo``: feature-exchange strategy — allgather | alltoall | overlap
-    (see parallel.partition_graph)."""
+    (see parallel.partition_graph).
+    ``cluster_order``: relabel nodes by discovered community before
+    partitioning (graphs.cluster_order), so the contiguous node-range
+    partition cuts between communities — shrinks the halo toward the
+    graph's inter-community edge fraction (docs/SCALING.md)."""
 
     num_parts: int = 0
     axis_name: str = "data"
     halo: str = "alltoall"
+    cluster_order: bool = False
 
 
 @dataclass

@@ -143,6 +143,15 @@ def fit(
         mesh = make_mesh(
             (n_parts,), (cfg.dist.axis_name,), devices=devs[:n_parts]
         )
+        if cfg.dist.cluster_order:
+            # Community-contiguous relabeling: the node-range partition then
+            # cuts between communities, shrinking the halo (exact — GNNs are
+            # permutation-equivariant; labels/masks permute alongside).
+            from gnn_tpu.graphs import cluster_order as _cluster_order
+
+            data = data.permute_nodes(
+                _cluster_order(np.asarray(data.edge_index), data.num_nodes)
+            )
         graph = data.to_dist_graph(
             mesh=mesh, halo=cfg.dist.halo, axis_name=cfg.dist.axis_name
         )

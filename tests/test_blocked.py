@@ -166,3 +166,46 @@ def test_blocked_gcn_model_trains():
     logits = nn.inference_mode(nn.combine(params, static))(data_p.x, adj)
     acc = float(nn.accuracy(logits, data_p.y, data_p.test_mask))
     assert acc > 0.8, acc
+
+
+def test_cluster_order_shrinks_partition_halo():
+    """Community-contiguous relabeling must cut the total all_to_all halo
+    of the node-range partition toward the inter-community edge fraction
+    (docs/SCALING.md second table). The max per-PAIR halo (h_max) is less
+    sensitive — partition boundaries still cut single communities — so the
+    assertion is on total unique remote rows, the wire volume that actually
+    scales with P."""
+    from benchmarks.scaling import partition_comm
+
+    N, P = 512, 8
+    data = stochastic_block_model(
+        num_nodes=N, num_classes=16, seed=7, p_in=0.2, p_out=0.002
+    )
+    ei = np.asarray(data.edge_index)
+    ei, w = graphs.gcn_norm(ei, num_nodes=N)
+    src, dst = np.asarray(ei[0], np.int64), np.asarray(ei[1], np.int64)
+
+    plain = partition_comm(src, dst, N, P)["rows_raw"].sum()
+    # cap communities at the part size so none is forced to straddle
+    perm = graphs.cluster_order(ei, N, seed=1, max_size=N // P)
+    old2new = np.empty(N, np.int64)
+    old2new[perm] = np.arange(N)
+    clust = partition_comm(old2new[src], old2new[dst], N, P)["rows_raw"].sum()
+    assert clust < plain / 2, (clust, plain)
+
+
+@pytest.mark.slow
+def test_distributed_fit_with_cluster_order():
+    from gnn_tpu.train import Config, fit
+
+    data = stochastic_block_model(num_nodes=128, num_classes=4, seed=11)
+    cfg = Config()
+    cfg.model.name = "gcn"
+    cfg.model.hidden = 16
+    cfg.model.dropout = 0.0
+    cfg.train.epochs = 3
+    cfg.train.eval_every = 1
+    cfg.dist.num_parts = 8
+    cfg.dist.cluster_order = True
+    _, _, history = fit(cfg, data, verbose=False)
+    assert history and np.isfinite(history[-1]["loss"])
