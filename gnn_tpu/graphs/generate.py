@@ -25,6 +25,7 @@ __all__ = [
     "cora_like",
     "random_regular",
     "power_law",
+    "clustered_power_law",
     "karate_club",
 ]
 
@@ -213,6 +214,62 @@ def power_law(
     src = rng.integers(0, num_nodes, num_edges)
     dst = np.searchsorted(cdf, rng.random(num_edges))
     ei, _ = remove_self_loops(np.stack([src, dst]).astype(np.int64))
+    ei, _ = coalesce(ei, num_nodes=num_nodes)
+    return ei
+
+
+def clustered_power_law(
+    num_nodes: int,
+    num_edges: int,
+    *,
+    avg_community: int = 200,
+    intra_frac: float = 0.85,
+    alpha: float = 0.8,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> np.ndarray:
+    """Community-structured edge list at scale: O(E) generation (no O(N^2)
+    pair enumeration, unlike :func:`stochastic_block_model`).
+
+    Nodes belong to lognormal-sized communities (mean ``avg_community``);
+    ``intra_frac`` of edges connect endpoints within one community (chosen
+    with power-law popularity inside it), the rest are global power-law
+    pairs. ``shuffle=True`` scatters node ids so NOTHING about the
+    community structure is visible in the id order — layouts must discover
+    it (the honest setting for benchmarking cluster reordering)."""
+    rng = np.random.default_rng(seed)
+    # community sizes: lognormal around avg_community, >= 4
+    sizes = []
+    total = 0
+    while total < num_nodes:
+        s = max(4, int(rng.lognormal(np.log(avg_community), 0.6)))
+        s = min(s, num_nodes - total)
+        sizes.append(s)
+        total += s
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    n_comm = len(sizes)
+
+    e_intra = int(num_edges * intra_frac)
+    # distribute intra edges proportionally to community size
+    sizes_arr = np.asarray(sizes, np.float64)
+    comm_of_edge = rng.choice(n_comm, e_intra, p=sizes_arr / sizes_arr.sum())
+    lo = starts[comm_of_edge]
+    sz = sizes_arr[comm_of_edge]
+    # power-law-ish popularity inside the community for the destination
+    u = rng.random(e_intra) ** (1.0 / max(1.0 - alpha, 1e-3))
+    src_i = lo + (rng.random(e_intra) * sz).astype(np.int64)
+    dst_i = lo + (u * sz).astype(np.int64).clip(0, (sz - 1).astype(np.int64))
+
+    e_inter = num_edges - e_intra
+    inter = power_law(num_nodes, e_inter, alpha=alpha, seed=seed + 1)
+
+    ei = np.concatenate(
+        [np.stack([src_i, dst_i]), np.asarray(inter, np.int64)], axis=1
+    )
+    if shuffle:
+        scatter = rng.permutation(num_nodes)
+        ei = scatter[ei]
+    ei, _ = remove_self_loops(ei)
     ei, _ = coalesce(ei, num_nodes=num_nodes)
     return ei
 

@@ -42,10 +42,12 @@ class TrainConfig:
     batch_size: int = 0  # 0 = full graph
     fanouts: List[int] = field(default_factory=lambda: [10, 5])
     eval_every: int = 10
-    # Degree-bucket node reordering for the combine-free sorted SpMM layout
-    # (graphs/sorted_ell.py; ~1.5x single-chip SpMM): "auto" uses it when
-    # the graph is degree-symmetric, "true"/"false" force it on/off.
-    # Applies to single-chip full-graph training only.
+    # Node reordering for the single-chip full-graph SpMM fast paths:
+    # "auto" uses the combine-free degree-bucket layout when the graph is
+    # degree-symmetric (graphs/sorted_ell.py; ~1.5x), "true"/"false" force
+    # it on/off, and "cluster" uses the community-packed block-diagonal
+    # layout (graphs/blocked.py; intra-community aggregation on the MXU —
+    # the fastest path for community-structured graphs).
     reorder: str = "auto"
     checkpoint_dir: str = ""
     checkpoint_every: int = 0  # 0 = only final

@@ -169,11 +169,15 @@ def fit(
         }
     else:
         # Single-chip full graph: optionally relabel nodes for the
-        # combine-free sorted layout (exact — GNNs are permutation-
-        # equivariant; metrics/masks are permuted alongside).
-        reorder = {"auto": "auto", "true": True, "false": False}[
-            str(cfg.train.reorder).lower()
-        ]
+        # combine-free sorted layout or the community-packed blocked one
+        # (exact — GNNs are permutation-equivariant; metrics/masks are
+        # permuted alongside).
+        reorder = {
+            "auto": "auto",
+            "true": True,
+            "false": False,
+            "cluster": "cluster",
+        }[str(cfg.train.reorder).lower()]
         if reorder and cfg.train.batch_size > 0:
             reorder = False  # sampled minibatches index data.x directly
         graph = data.to_adjacency(norm="sym", reorder=reorder)

@@ -209,3 +209,24 @@ def test_distributed_fit_with_cluster_order():
     cfg.dist.cluster_order = True
     _, _, history = fit(cfg, data, verbose=False)
     assert history and np.isfinite(history[-1]["loss"])
+
+
+def test_clustered_power_law_generator():
+    from gnn_tpu.graphs.generate import clustered_power_law
+
+    N, E = 5000, 30000
+    ei = clustered_power_law(N, E, avg_community=100, intra_frac=0.9, seed=0)
+    assert ei.shape[0] == 2 and ei.min() >= 0 and ei.max() < N
+    # no self loops, coalesced
+    assert (ei[0] != ei[1]).all()
+    assert len(np.unique(ei[0] * N + ei[1])) == ei.shape[1]
+    # shuffled ids: community structure must NOT be visible in id order
+    # (adjacent-id edge fraction stays tiny), yet clustering must find it
+    near = np.mean(np.abs(ei[0] - ei[1]) < 100)
+    assert near < 0.2, near
+    perm = graphs.cluster_order(ei, N, max_size=256, seed=1)
+    old2new = np.empty(N, np.int64)
+    old2new[perm] = np.arange(N)
+    ei_c = old2new[np.asarray(ei)]
+    near_c = np.mean(np.abs(ei_c[0] - ei_c[1]) < 256)
+    assert near_c > 0.5, near_c
