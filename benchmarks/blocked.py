@@ -61,7 +61,6 @@ def main():
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--intra", type=float, default=0.85)
     ap.add_argument("--community", type=int, default=200)
-    ap.add_argument("--block-rows", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
@@ -121,15 +120,13 @@ def main():
     results = {}
     for name, kwargs in (
         ("sorted_ell", dict(reorder=True, hub_dense=400)),
+        ("blocked_r256", dict(reorder="cluster", block_rows=256)),
+        ("blocked_r512", dict(reorder="cluster", block_rows=512)),
         (
-            "blocked",
-            dict(reorder="cluster", block_rows=args.block_rows),
-        ),
-        (
-            "blocked_bf16",
+            "blocked_r512_bf16",
             dict(
                 reorder="cluster",
-                block_rows=args.block_rows,
+                block_rows=512,
                 block_dtype=jnp.bfloat16,
             ),
         ),
@@ -174,12 +171,16 @@ def main():
             flush=True,
         )
 
-    if "blocked" in results and "sorted_ell" in results:
+    best = min(
+        (v for k, v in results.items() if k.startswith("blocked")),
+        default=None,
+    )
+    if best is not None and "sorted_ell" in results:
         print(
             json.dumps(
                 {
-                    "speedup_blocked_vs_sorted": round(
-                        results["sorted_ell"] / results["blocked"], 2
+                    "speedup_best_blocked_vs_sorted": round(
+                        results["sorted_ell"] / best, 2
                     )
                 }
             ),
