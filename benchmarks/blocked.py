@@ -23,28 +23,34 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, ".")  # run from the repo root
+
 
 def _chain(body, iters):
+    # The operand (e.g. an Adjacency with a few-hundred-MB blocked layout)
+    # is a jit ARGUMENT, not a closure constant: closure constants embed in
+    # the lowered module and overflow the remote-compile transport.
     @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, iters, lambda i, x: body(x), x)
+    def loop(x, operand):
+        return jax.lax.fori_loop(0, iters, lambda i, x: body(x, operand), x)
 
     return loop
 
 
-def _time(loop, x, iters, reps=3):
-    out = loop(x)
+def _time(loop, x, iters, operand=None, reps=3):
+    out = loop(x, operand)
     np.asarray(out[0, 0])
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = loop(x)
+        out = loop(x, operand)
         np.asarray(out[0, 0])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
@@ -101,16 +107,20 @@ def main():
     iters = args.iters
 
     # calibrations (same expressions as bench.py)
-    dt_nrm = _time(_chain(lambda x: _normalize(x + 1.0), iters), x, iters)
+    dt_nrm = _time(
+        _chain(lambda x, _: _normalize(x + 1.0), iters), x, iters
+    )
     cal_idx = jnp.asarray(
         np.random.default_rng(2).integers(0, args.nodes, E).astype(np.int32)
     )
 
-    def gather_body(x):
-        g = jnp.take(x, cal_idx, axis=0)
+    def gather_body(x, idx):
+        g = jnp.take(x, idx, axis=0)
         return _normalize(x + jnp.sum(g * g, axis=0)[None, :] * 1e-6)
 
-    dt_gather = _time(_chain(gather_body, iters), x, iters) - dt_nrm
+    dt_gather = (
+        _time(_chain(gather_body, iters), x, iters, operand=cal_idx) - dt_nrm
+    )
     ns_per_row = dt_gather / E * 1e9
     sol = 2 * E * ns_per_row * 1e-9
     print(
@@ -150,11 +160,11 @@ def main():
                 ),
             }
 
-        def step(x, adj=adj):
+        def step(x, adj):
             dx = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj, x) ** 2))(x)
             return _normalize(dx)
 
-        dt = _time(_chain(step, iters), x, iters) - dt_nrm
+        dt = _time(_chain(step, iters), x, iters, operand=adj) - dt_nrm
         results[name] = dt
         print(
             json.dumps(

@@ -174,9 +174,19 @@ class Adjacency(Module):
         def remap_blocked(lay):
             if lay is None:
                 return None
-            inv32 = inv.astype(jnp.int32)
+            # E = padding sentinel in level/tail tables -> keep it E
+            inv_ext = jnp.concatenate(
+                [inv.astype(jnp.int32), jnp.asarray([self.num_edges], jnp.int32)]
+            )
             return lay.replace(
-                diag_eid=inv32[lay.diag_eid], rem_eid=inv32[lay.rem_eid]
+                diag_eid=inv_ext[lay.diag_eid],
+                rem_eid=inv_ext[lay.rem_eid],
+                levels=tuple(
+                    l.replace(eid=inv_ext[l.eid]) for l in lay.levels
+                ),
+                tail_eid=(
+                    None if lay.tail_eid is None else inv_ext[lay.tail_eid]
+                ),
             )
 
         return Adjacency(
@@ -219,6 +229,7 @@ def build_adjacency(
     hub_dtype=None,
     block_rows: int = 256,
     block_dtype=None,
+    rem_backend: str = "auto",
     cluster_labels=None,
     cluster_iters: int = 10,
     cluster_seed: int = 0,
@@ -282,7 +293,10 @@ def build_adjacency(
                 "blocks instead"
             )
         from gnn_tpu import native as _native
-        from gnn_tpu.graphs.blocked import cluster_pack_order
+        from gnn_tpu.graphs.blocked import (
+            cluster_pack_order,
+            refine_pack_order,
+        )
 
         R = int(block_rows)
         if cluster_labels is None:
@@ -301,7 +315,11 @@ def build_adjacency(
                     f"cluster_labels must be [{num_dst_nodes}], got "
                     f"{labels.shape}"
                 )
-        perm_host = cluster_pack_order(labels, R)
+        # pack communities into R-row windows, then sort within each window
+        # by descending remainder degree (enables the leveled-ELL remainder)
+        perm_host = refine_pack_order(
+            cluster_pack_order(labels, R), src, dst, R
+        )
         old2new = np.empty(num_dst_nodes, np.int64)
         old2new[perm_host] = np.arange(num_dst_nodes)
         src, dst = old2new[src], old2new[dst]
@@ -383,10 +401,12 @@ def build_adjacency(
         blocked = build_blocked(
             src, dst, np.arange(num_edges), num_dst_nodes, num_edges,
             edge_weight=w_host, rows=int(block_rows), block_dtype=block_dtype,
+            rem_backend=rem_backend,
         )
         t_blocked = build_blocked(
             dst[t_perm], src[t_perm], t_perm, num_src_nodes, num_edges,
             edge_weight=w_host, rows=int(block_rows), block_dtype=block_dtype,
+            rem_backend=rem_backend,
         )
         layout = "csr"  # block-diagonal + remainder replaces the ELLs
     if perm_host is not None and layout == "ell" and not cluster_mode:

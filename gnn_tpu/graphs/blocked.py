@@ -23,10 +23,21 @@ Pipeline (host, one-time):
    window);
 2. node order <- first-fit-decreasing packing of communities into windows
    of exactly R nodes (underfull bins concatenated and cut at R, splitting
-   the straddler — see :func:`cluster_pack_order`);
+   the straddler — see :func:`cluster_pack_order`), then nodes sorted
+   WITHIN each window by descending remainder degree (window membership —
+   and hence the dense/remainder split — is invariant to within-window
+   order, and GNNs are permutation-equivariant, so this is free);
 3. edges with src-window == dst-window are baked into ``diag [B, R, R]``
-   (including self-loops); the remainder stays COO (dst-sorted) and rides
-   the Pallas one-hot segment-sum kernel (ops/pallas/segment.py).
+   (including self-loops);
+4. the inter-window remainder becomes a SELL-style *leveled* ELL: level L
+   is a ``[B * t_L, K_L]`` slot table covering window-local rows < t_L,
+   whose output adds to ``out.reshape(B, R, F)[:, :t_L]`` — a static
+   slice, so there is NO scatter and NO combine anywhere (the descending
+   within-window sort is what makes a shared prefix t_L valid across all
+   windows). Nodes deeper than the level budget spill to a small
+   scatter-add tail. Levels need the remainder to be degree-symmetric
+   (true for any symmetrized/GCN graph); directed graphs fall back to the
+   one-hot segment kernel remainder.
 
 Like the hub-dense block of graphs/sorted_ell.py this is a STATIC-weight
 layout (frozen GCN norms); dynamic per-edge weights (attention) need a
@@ -54,8 +65,19 @@ __all__ = [
 DEFAULT_R = 256  # window rows: one [R, R] f32 block = R*R*4 B; MXU-aligned
 
 
+class RemLevel(Module):
+    """One remainder level: K slots for window-local rows < t, every
+    window. Output adds to ``out.reshape(B, R, F)[:, :t]`` — no scatter."""
+
+    col: jax.Array  # [B*t, K] int32 source ids (padding: 0, weight 0)
+    w: jax.Array  # [B*t, K] f32 slot weights
+    eid: jax.Array  # [B*t, K] int32 canonical edge ids (E = padding)
+    t: int = static_field(default=0)
+    k: int = static_field(default=1)
+
+
 class BlockedLayout(Module):
-    """Block-diagonal dense + COO remainder, in the packed node order."""
+    """Block-diagonal dense + leveled-ELL remainder, in the packed order."""
 
     diag: jax.Array  # [B, R, R] block values; diag[b, r, c] = w(edge
     # src = b*R+c -> dst = b*R+r), 0 where no edge
@@ -65,7 +87,15 @@ class BlockedLayout(Module):
     rem_dst: jax.Array  # [E_r] int32 remainder destinations, ascending
     rem_w: Optional[jax.Array]  # [E_r] f32 or None (= ones)
     rem_eid: jax.Array  # [E_r] int32 canonical edge ids
-    rem_plan: object  # ops.pallas.segment.ChunkPlan over rem_dst
+    rem_plan: object  # ops.pallas.segment.ChunkPlan over rem_dst (fallback
+    # path for remainders whose within-window degrees are not sorted)
+    # Leveled-ELL remainder (the fast path; see module docstring):
+    levels: Tuple[RemLevel, ...] = ()
+    tail_col: Optional[jax.Array] = None  # [T, Kt] spill pieces
+    tail_w: Optional[jax.Array] = None
+    tail_eid: Optional[jax.Array] = None
+    tail_node: Optional[jax.Array] = None  # [T] destination (packed id)
+    use_levels: bool = static_field(default=False)
     num_nodes: int = static_field(default=0)
     rows: int = static_field(default=DEFAULT_R)
 
@@ -80,6 +110,13 @@ class BlockedLayout(Module):
     @property
     def num_rem_edges(self) -> int:
         return int(self.rem_src.shape[0])
+
+    @property
+    def num_level_slots(self) -> int:
+        s = sum(int(np.prod(l.col.shape)) for l in self.levels)
+        if self.tail_col is not None:
+            s += int(np.prod(self.tail_col.shape))
+        return s
 
 
 def cluster_order(
@@ -166,6 +203,152 @@ def cluster_pack_order(labels: np.ndarray, rows: int) -> np.ndarray:
     return perm
 
 
+def refine_pack_order(
+    perm: np.ndarray, src: np.ndarray, dst: np.ndarray, rows: int
+) -> np.ndarray:
+    """Re-sort nodes WITHIN each R-row window by descending remainder
+    (inter-window) in-degree. Window membership — and hence the
+    dense/remainder edge split — is unchanged; the descending order is what
+    lets the leveled-ELL remainder share one prefix t per level across all
+    windows. ``perm`` is new -> old from :func:`cluster_pack_order`;
+    ``src``/``dst`` are ORIGINAL-id edges."""
+    perm = np.asarray(perm, np.int64)
+    n = len(perm)
+    old2new = np.empty(n, np.int64)
+    old2new[perm] = np.arange(n)
+    s, d = old2new[np.asarray(src, np.int64)], old2new[np.asarray(dst, np.int64)]
+    R = int(rows)
+    rem = s // R != d // R
+    deg = np.bincount(d[rem], minlength=n)
+    window = np.arange(n) // R
+    # stable sort by (window, -deg): within-window descending remainder deg
+    order = np.lexsort((-deg, window))
+    return perm[order]
+
+
+_LEVEL_WIDTHS = (1, 2, 4, 8, 16)
+_MAX_LEVELS = 8  # each level also costs one prefix-slice add
+_LEVEL_FIXED_SLOTS = 50_000  # that add, in gather-slot-equivalents
+_TAIL_RATE = 8.0  # a tail piece costs ~20 slot-equivalents of scatter +
+# its 16 gather slots over ~4-5 real edges — only hubs belong there
+_TAIL_K = 16
+
+
+def _build_rem_levels(
+    rem_src, rem_dst, rem_eid, rem_w, num_nodes, num_edges, R, B
+):
+    """Leveled-ELL tables over a dst-sorted remainder whose per-window
+    degrees are non-increasing (see refine_pack_order). Returns
+    (levels, tail arrays) or None when the sortedness precondition fails
+    (e.g. a directed remainder refined for the transpose direction).
+
+    Strip schedule is cost-driven: each level is a (t, K) prefix strip
+    chosen greedily to maximize real edge coverage subject to a fill-
+    efficiency floor (total slot count is what the gather pays — measured
+    ~2.6 ns/slot regardless of shape). Whatever no efficient strip covers
+    (hub rows, stragglers) spills to width-16 scatter-add tail pieces.
+    Any (t, K) schedule is *correct* — per-node coverage counters assign
+    each node's next-K CSR edges to each strip — the floor only bounds
+    padding waste."""
+    Npad = B * R
+    deg = np.bincount(rem_dst, minlength=Npad)
+    by_win = deg.reshape(B, R)
+    if (np.diff(by_win, axis=1) > 0).any():
+        return None
+    rp = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(Npad) % R
+
+    covered = np.zeros(Npad, np.int64)
+    levels = []
+    while len(levels) < _MAX_LEVELS:
+        rem = deg - covered
+        if rem.max() <= 0:
+            break
+        # farthest active position (not count: coverage holes are possible
+        # once earlier strips zero out small prefix rows)
+        act_pos = np.where(rem > 0, pos, -1).reshape(B, R).max(axis=1) + 1
+        cands = sorted(
+            {
+                max(1, int(np.ceil(q)))
+                for q in np.percentile(act_pos, [50, 75, 90, 99, 100])
+                if q > 0
+            }
+        )
+        # coverage of a (t, K) strip = sum over prefix rows of min(rem, K);
+        # a positional prefix sum makes the candidate sweep O(R * widths).
+        # Objective: minimize time per covered edge = (slots + fixed level
+        # cost) / cover; stop when the tail's per-edge rate is cheaper.
+        best = None
+        for K in _LEVEL_WIDTHS:
+            gain_by_pos = np.zeros(R, np.int64)
+            np.add.at(gain_by_pos, pos, np.minimum(rem, K))
+            csum = np.cumsum(gain_by_pos)
+            for t in cands:
+                cover = int(csum[t - 1])
+                if cover == 0:
+                    continue
+                ratio = (B * t * K + _LEVEL_FIXED_SLOTS) / cover
+                if best is None or ratio < best[0]:
+                    best = (ratio, t, K)
+        if best is None or best[0] >= _TAIL_RATE:
+            break
+        _, t, K = best
+        nodes = (np.arange(B)[:, None] * R + np.arange(t)[None, :]).ravel()
+        base = rp[nodes] + covered[nodes]
+        avail = np.clip(deg[nodes] - covered[nodes], 0, K)
+        mask = np.arange(K)[None, :] < avail[:, None]
+        colt = np.zeros((len(nodes), K), np.int64)
+        wt = np.zeros((len(nodes), K), np.float32)
+        et = np.full((len(nodes), K), num_edges, np.int64)
+        flat = (base[:, None] + np.arange(K)[None, :])[mask]
+        colt[mask] = rem_src[flat]
+        wt[mask] = rem_w[flat]
+        et[mask] = rem_eid[flat]
+        levels.append(
+            RemLevel(
+                col=jnp.asarray(colt.astype(np.int32)),
+                w=jnp.asarray(wt),
+                eid=jnp.asarray(et.astype(np.int32)),
+                t=t,
+                k=K,
+            )
+        )
+        covered[nodes] += avail
+    # spill: anything the strips didn't cover, as width-_TAIL_K pieces
+    extra = np.clip(deg - covered, 0, None)
+    hubs = np.nonzero(extra)[0]
+    npieces = -(-extra[hubs] // _TAIL_K)
+    T = int(npieces.sum())
+    if T:
+        tail_node = np.repeat(hubs, npieces)
+        piece_idx = np.arange(T) - np.repeat(
+            np.cumsum(npieces) - npieces, npieces
+        )
+        base = (
+            rp[tail_node] + covered[tail_node] + piece_idx * _TAIL_K
+        )
+        avail = np.clip(
+            extra[tail_node] - piece_idx * _TAIL_K, 0, _TAIL_K
+        )
+        mask = np.arange(_TAIL_K)[None, :] < avail[:, None]
+        colt = np.zeros((T, _TAIL_K), np.int64)
+        wt = np.zeros((T, _TAIL_K), np.float32)
+        et = np.full((T, _TAIL_K), num_edges, np.int64)
+        flat = (base[:, None] + np.arange(_TAIL_K)[None, :])[mask]
+        colt[mask] = rem_src[flat]
+        wt[mask] = rem_w[flat]
+        et[mask] = rem_eid[flat]
+        tail = (
+            jnp.asarray(colt.astype(np.int32)),
+            jnp.asarray(wt),
+            jnp.asarray(et.astype(np.int32)),
+            jnp.asarray(tail_node.astype(np.int32)),
+        )
+    else:
+        tail = (None, None, None, None)
+    return tuple(levels), tail
+
+
 def build_blocked(
     src: np.ndarray,
     dst: np.ndarray,
@@ -176,10 +359,14 @@ def build_blocked(
     edge_weight: Optional[np.ndarray] = None,
     rows: int = DEFAULT_R,
     block_dtype=None,
+    rem_backend: str = "auto",
 ) -> BlockedLayout:
     """Build from PACKED-id edges in dst-sorted order. ``edge_ids`` are the
     canonical (adjacency-order) edge ids of each input edge; ``edge_weight``
-    is indexed by canonical id."""
+    is indexed by canonical id. ``rem_backend``: 'auto' picks the cheaper
+    remainder path by measured cost model, 'levels'/'kernel' force one."""
+    if rem_backend not in ("auto", "levels", "kernel"):
+        raise ValueError(f"unknown rem_backend '{rem_backend}'")
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     eid = np.asarray(edge_ids, np.int64)
@@ -201,9 +388,31 @@ def build_blocked(
     rem_src, rem_dst = src[keep], dst[keep]
     rem_eid, rem_w = eid[keep], w[keep]
 
-    from gnn_tpu.ops.pallas.segment import build_chunk_plan
+    built = None
+    if rem_backend != "kernel":
+        built = _build_rem_levels(
+            rem_src, rem_dst, rem_eid, rem_w, num_nodes, num_edges, R, B
+        )
+    if built is not None and rem_backend == "auto":
+        # Measured-cost chooser (ns, this chip): strips gather ~2.6/slot,
+        # a prefix add ~130k ns, a tail piece ~66 (scatter + its slots);
+        # the one-hot kernel lands ~6.5/edge end to end. Poisson-ish
+        # remainders (real community graphs) pick the strips; heavy
+        # power-law remainders pick the kernel.
+        levels, tail = built
+        n_pieces = 0 if tail[0] is None else int(tail[0].shape[0])
+        lvl_slots = sum(int(np.prod(l.col.shape)) for l in levels)
+        lvl_cost = lvl_slots * 2.6 + len(levels) * 130_000 + n_pieces * 66
+        if lvl_cost >= len(rem_src) * 6.5:
+            built = None
+    rem_plan = None
+    levels, tail = (), (None, None, None, None)
+    if built is not None:
+        levels, tail = built
+    else:
+        from gnn_tpu.ops.pallas.segment import build_chunk_plan
 
-    rem_plan = build_chunk_plan(rem_dst, num_nodes)
+        rem_plan = build_chunk_plan(rem_dst, num_nodes)
 
     diag = jnp.asarray(D.reshape(B, R, R))
     if block_dtype is not None:
@@ -217,6 +426,12 @@ def build_blocked(
         rem_w=None if edge_weight is None else jnp.asarray(rem_w),
         rem_eid=jnp.asarray(rem_eid.astype(np.int32)),
         rem_plan=rem_plan,
+        levels=levels,
+        tail_col=tail[0],
+        tail_w=tail[1],
+        tail_eid=tail[2],
+        tail_node=tail[3],
+        use_levels=built is not None,
         num_nodes=int(num_nodes),
         rows=R,
     )
@@ -231,6 +446,8 @@ def refresh_blocked_weights(
         w_ext = jnp.ones((num_edges,), jnp.float32)
     else:
         w_ext = jax.lax.stop_gradient(weight.astype(jnp.float32))
+    # padding slots (eid == num_edges) must re-bake to weight 0
+    w_ext = jnp.concatenate([w_ext, jnp.zeros((1,), jnp.float32)])
     B, R, _ = lay.diag.shape
     D = jnp.zeros((B * R * R,), jnp.float32)
     D = D.at[lay.diag_pos].add(jnp.take(w_ext, lay.diag_eid))
@@ -241,24 +458,50 @@ def refresh_blocked_weights(
             if weight is None and lay.rem_w is None
             else jnp.take(w_ext, lay.rem_eid)
         ),
+        levels=tuple(
+            l.replace(w=jnp.take(w_ext, l.eid)) for l in lay.levels
+        ),
+        tail_w=(
+            None
+            if lay.tail_eid is None
+            else jnp.take(w_ext, lay.tail_eid)
+        ),
     )
 
 
+def _unrolled(x, col2d, w2d):
+    """Sum_k w[:, k] * x[col[:, k]] as a chain of FLAT gathers (<= 16 —
+    the measured-fastest gather expression, see graphs/sorted_ell.py)."""
+    acc = w2d[:, 0, None] * jnp.take(x, col2d[:, 0], axis=0)
+    for k in range(1, col2d.shape[1]):
+        acc = acc + w2d[:, k, None] * jnp.take(x, col2d[:, k], axis=0)
+    return acc
+
+
 def blocked_matvec(lay: BlockedLayout, x: jax.Array) -> jax.Array:
-    """out[d] = sum over in-edges (s -> d) of w * x[s], block-diagonal part
-    on the MXU, remainder through the one-hot segment-sum kernel."""
+    """out[d] = sum over in-edges (s -> d) of w * x[s]: block-diagonal part
+    on the MXU, remainder through the leveled ELL (static prefix-slice
+    adds — no scatter) or, for unsorted remainders, the one-hot kernel."""
     N, F = x.shape
     B, R, _ = lay.diag.shape
     pad = B * R - N
     xp = jnp.concatenate([x, jnp.zeros((pad, F), x.dtype)]) if pad else x
     xw = xp.reshape(B, R, F).astype(lay.diag.dtype)
-    out = (
-        jnp.einsum(
-            "brw,bwf->brf", lay.diag, xw, preferred_element_type=jnp.float32
-        )
-        .reshape(B * R, F)[:N]
-        .astype(x.dtype)
+    out3 = jnp.einsum(
+        "brw,bwf->brf", lay.diag, xw, preferred_element_type=jnp.float32
     )
+    if lay.use_levels:
+        for lev in lay.levels:
+            part = _unrolled(x, lev.col, lev.w)  # [B*t, F] f32
+            out3 = out3.at[:, : lev.t, :].add(
+                part.reshape(B, lev.t, F).astype(out3.dtype)
+            )
+        out = out3.reshape(B * R, F)
+        if lay.tail_col is not None:
+            tails = _unrolled(x, lay.tail_col, lay.tail_w)
+            out = out.at[lay.tail_node].add(tails.astype(out.dtype))
+        return out[:N].astype(x.dtype)
+    out = out3.reshape(B * R, F)[:N].astype(x.dtype)
     if lay.num_rem_edges:
         msg = jnp.take(x, lay.rem_src, axis=0)
         if lay.rem_w is not None:

@@ -124,8 +124,15 @@ def test_blocked_transpose_and_weight_swap():
     A = _csr(ei, w, N)[perm][:, perm]
     x = np.random.default_rng(5).normal(size=(N, 8)).astype(np.float32)
     # transpose
-    out_t = np.asarray(spmm(adj.transpose(), jnp.asarray(x)))
+    adj_t = adj.transpose()
+    out_t = np.asarray(spmm(adj_t, jnp.asarray(x)))
     np.testing.assert_allclose(out_t, A.T @ x, rtol=2e-4, atol=2e-5)
+    # weight swap AFTER transpose exercises the remapped edge-id tables
+    adj_t2 = adj_t.with_weight(adj_t.weight * 3.0)
+    np.testing.assert_allclose(
+        np.asarray(spmm(adj_t2, jnp.asarray(x))), 3.0 * (A.T @ x),
+        rtol=2e-4, atol=5e-5,
+    )
     # weight swap: doubled weights double the output (swap is in the
     # adjacency's canonical dst-sorted edge order)
     w2 = np.asarray(adj.weight) * 2.0
@@ -230,3 +237,54 @@ def test_clustered_power_law_generator():
     ei_c = old2new[np.asarray(ei)]
     near_c = np.mean(np.abs(ei_c[0] - ei_c[1]) < 256)
     assert near_c > 0.5, near_c
+
+
+def test_blocked_leveled_remainder_engaged_and_exact():
+    """The undirected cluster adjacency must use the leveled-ELL remainder
+    (no scatter path), cover every remainder edge across levels + tail, and
+    stay exact vs the dense oracle."""
+    N = 600
+    ei, w = _clustered_graph(N=N, k=12, seed=13)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder="cluster", block_rows=64,
+        rem_backend="levels",
+    )
+    lay = adj.blocked
+    assert lay.use_levels and adj.t_blocked.use_levels
+    covered = sum(
+        int((np.asarray(l.eid) != adj.num_edges).sum()) for l in lay.levels
+    )
+    if lay.tail_eid is not None:
+        covered += int((np.asarray(lay.tail_eid) != adj.num_edges).sum())
+    assert covered == lay.num_rem_edges
+    perm = np.asarray(adj.perm)
+    A = _csr(ei, w, N)[perm][:, perm]
+    x = np.random.default_rng(7).normal(size=(N, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmm(adj, jnp.asarray(x))), A @ x, rtol=2e-4, atol=2e-5
+    )
+
+
+def test_blocked_directed_falls_back_to_kernel_path():
+    """A directed (degree-asymmetric) remainder cannot share the leveled
+    prefix across fwd and transpose — the builder must fall back to the
+    chunk-plan path and stay exact."""
+    rng = np.random.default_rng(21)
+    N = 300
+    ei = np.stack([rng.integers(0, N, 2500), rng.integers(0, N, 2500)])
+    ei, _ = graphs.coalesce(ei, num_nodes=N)
+    w = rng.random(ei.shape[1]).astype(np.float32)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=N, reorder="cluster", block_rows=32
+    )
+    assert not (adj.blocked.use_levels and adj.t_blocked.use_levels)
+    perm = np.asarray(adj.perm)
+    A = _csr(ei, w, N)[perm][:, perm]
+    x = rng.normal(size=(N, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmm(adj, jnp.asarray(x))), A @ x, rtol=2e-4, atol=2e-5
+    )
+    g = jax.grad(lambda x: jnp.sum(spmm(adj, x) ** 2))(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(g), 2 * A.T @ (A @ x), rtol=2e-4, atol=2e-5
+    )
