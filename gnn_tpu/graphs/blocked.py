@@ -29,15 +29,21 @@ Pipeline (host, one-time):
    order, and GNNs are permutation-equivariant, so this is free);
 3. edges with src-window == dst-window are baked into ``diag [B, R, R]``
    (including self-loops);
-4. the inter-window remainder becomes a SELL-style *leveled* ELL: level L
-   is a ``[B * t_L, K_L]`` slot table covering window-local rows < t_L,
-   whose output adds to ``out.reshape(B, R, F)[:, :t_L]`` — a static
-   slice, so there is NO scatter and NO combine anywhere (the descending
-   within-window sort is what makes a shared prefix t_L valid across all
-   windows). Nodes deeper than the level budget spill to a small
-   scatter-add tail. Levels need the remainder to be degree-symmetric
-   (true for any symmetrized/GCN graph); directed graphs fall back to the
-   one-hot segment kernel remainder.
+4. the inter-window remainder goes through one of two backends, picked by
+   a measured-ns cost model at build time (``rem_backend='auto'``):
+
+   * **levels** — a SELL-style leveled ELL: level L is a ``[B * t_L, K_L]``
+     slot table covering window-local rows < t_L, whose output adds to
+     ``out.reshape(B, R, F)[:, :t_L]`` — a static slice, so there is NO
+     scatter and NO combine (the descending within-window sort makes a
+     shared prefix t_L valid across all windows); hub spill goes to a
+     small scatter-add tail. Wins on Poisson-ish remainder degree
+     distributions (real community graphs). Needs a degree-symmetric
+     remainder (any symmetrized/GCN graph qualifies).
+   * **kernel** — per-edge gather + the double-buffered one-hot MXU
+     segment kernel (ops/pallas/segment.py). Wins on heavy-tailed
+     remainders, where prefix strips pad too much (measured ~2.6 ns/slot
+     means slot count is everything — docs/PERF.md round 3).
 
 Like the hub-dense block of graphs/sorted_ell.py this is a STATIC-weight
 layout (frozen GCN norms); dynamic per-edge weights (attention) need a
