@@ -179,3 +179,24 @@ def test_cora_like_gcn_accuracy_band():
     _, _, hist = fit(cfg, cora_like(seed=0), verbose=False)
     acc = hist[-1]["test_acc"]
     assert 0.78 <= acc <= 0.88, f"outside Cora band: {acc}"
+
+
+@pytest.mark.slow
+def test_cora_like_gcn_accuracy_band_cluster_layout():
+    """Same Kipf recipe through the cluster-packed blocked SpMM layout
+    (reorder='cluster') — the layout swap must not move accuracy."""
+    from gnn_tpu.graphs.generate import cora_like
+    from gnn_tpu.train import Config, fit
+
+    cfg = Config()
+    cfg.model.name = "gcn"
+    cfg.model.hidden = 16
+    cfg.model.dropout = 0.5
+    cfg.optim.lr = 0.01
+    cfg.optim.weight_decay = 5e-4
+    cfg.train.epochs = 200
+    cfg.train.eval_every = 200
+    cfg.train.reorder = "cluster"
+    _, _, hist = fit(cfg, cora_like(seed=0), verbose=False)
+    acc = hist[-1]["test_acc"]
+    assert 0.78 <= acc <= 0.88, f"outside Cora band: {acc}"
