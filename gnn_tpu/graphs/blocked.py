@@ -132,6 +132,7 @@ def cluster_order(
     max_size: int = 0,
     n_iters: int = 10,
     seed: int = 0,
+    pack_rows: int = 0,
 ) -> np.ndarray:
     """Node permutation (new -> old) grouping nodes by discovered community
     (label propagation, native graph-core), communities in node-id order.
@@ -141,7 +142,16 @@ def cluster_order(
     or apply it BEFORE ``partition_graph`` so the contiguous node-range
     partition cuts between communities instead of through them — the halo
     (and hence all_to_all bytes) shrinks toward the graph's inter-community
-    edge fraction (docs/SCALING.md's second table)."""
+    edge fraction (docs/SCALING.md's second table).
+
+    ``pack_rows=R`` additionally packs the communities into windows of
+    exactly R nodes (:func:`cluster_pack_order`, with the community size cap
+    forced to R) so that every R-aligned boundary splits at most one
+    community. This is the order to use ahead of
+    ``partition_graph(local_blocked=R)``: part boundaries land on R
+    multiples, so community integrity holds at BOTH the partition level
+    (small halo) and the window level (dense diagonal blocks capture the
+    intra-community edges)."""
     from gnn_tpu import native
 
     ei = np.asarray(edge_index)
@@ -149,10 +159,12 @@ def cluster_order(
     labels, _ = native.label_propagation(
         rp0,
         ei[0].astype(np.int64)[order0],
-        max_size=max_size,
+        max_size=pack_rows if pack_rows else max_size,
         n_iters=n_iters,
         seed=seed,
     )
+    if pack_rows:
+        return cluster_pack_order(labels, int(pack_rows))
     return np.argsort(labels, kind="stable")
 
 

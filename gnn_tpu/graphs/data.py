@@ -199,10 +199,15 @@ class Data(Module):
         add_self_loops: bool = True,
         norm: Optional[str] = "sym",
         improved: bool = False,
+        local_blocked: int = 0,
+        block_dtype=None,
     ):
         """Multi-chip counterpart of :meth:`to_adjacency`: the same
         normalization prep, then a node partition over the mesh's
-        ``axis_name`` axis (see parallel.partition_graph)."""
+        ``axis_name`` axis (see parallel.partition_graph).
+        ``local_blocked=R`` bakes each chip's local intra-window edges into
+        dense MXU blocks (requires halo='overlap'; pair with a
+        ``graphs.cluster_order(..., pack_rows=R)`` relabeling first)."""
         from gnn_tpu.parallel.partition import partition_graph
 
         ei = np.asarray(self.edge_index)
@@ -229,6 +234,8 @@ class Data(Module):
             mesh=mesh,
             axis_name=axis_name,
             halo=halo,
+            local_blocked=local_blocked,
+            block_dtype=block_dtype,
         )
 
 

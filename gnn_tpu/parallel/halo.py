@@ -79,37 +79,65 @@ def spmm_dist(
         # XLA's latency-hiding scheduler runs it while the exchange is in
         # flight; the remote ELL then consumes the recv buffer directly
         # (coords q*h_max + pos — no concat with x_local needed).
+        #
+        # With local_blocked=R (dist.diag is not None), each chip's local
+        # intra-window edges additionally ride the MXU as a [B, R, R] x
+        # [B, R, F] batched matmul — the distributed form of the single-chip
+        # cluster-packed layout (graphs/blocked.py). The backward dense
+        # operator is the SAME blocks with window axes transposed (both
+        # endpoints are owned, so the forward and backward local dense edge
+        # sets coincide): einsum('brc,brf->bcf', diag, g).
         n_parts = dist.num_parts
+        use_blocked = dist.diag is not None
+        diag_in = (
+            dist.diag
+            if use_blocked
+            else jnp.zeros((n_parts, 1, 8, 8), jnp.float32)
+        )
 
         def exchange_rem(v_local, send_idx):
             return _exchange(v_local, send_idx, axis_name, n_parts)
 
+        def _dense(d, v, spec):
+            """Per-window dense matvec: spec 'brw,bwf->brf' (forward) or
+            'brc,brf->bcf' (transpose/backward)."""
+            B, R, _ = d.shape
+            vw = v.reshape(B, R, v.shape[1]).astype(d.dtype)
+            out = jnp.einsum(spec, d, vw, preferred_element_type=jnp.float32)
+            return out.reshape(v.shape).astype(v.dtype)
+
         @jax.custom_vjp
-        def local(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx):
+        def local(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx, diag):
             recv = exchange_rem(x_local, send_idx)  # issued first: overlaps
             out = _ell_matvec(_strip(ell), x_local)  # ...with this
+            if use_blocked:
+                out = out + _dense(diag[0], x_local, "brw,bwf->brf")
             return out + _ell_matvec(_strip(rem), recv)
 
-        def local_fwd(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx):
+        def local_fwd(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx, diag):
             return (
-                local(x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx),
-                (t_ell, t_rem, t_send_idx),
+                local(
+                    x_local, ell, rem, t_ell, t_rem, send_idx, t_send_idx, diag
+                ),
+                (t_ell, t_rem, t_send_idx, diag),
             )
 
         def local_bwd(res, g):
-            t_ell, t_rem, t_send_idx = res
+            t_ell, t_rem, t_send_idx, diag = res
             recv = exchange_rem(g, t_send_idx)
             dx = _ell_matvec(_strip(t_ell), g) + _ell_matvec(
                 _strip(t_rem), recv
             )
-            return dx, None, None, None, None, None, None
+            if use_blocked:
+                dx = dx + _dense(diag[0], g, "brc,brf->bcf")
+            return dx, None, None, None, None, None, None, None
 
         local.defvjp(local_fwd, local_bwd)
 
         fn = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis_name, None),) + (P(axis_name),) * 6,
+            in_specs=(P(axis_name, None),) + (P(axis_name),) * 7,
             out_specs=P(axis_name, None),
             axis_names={axis_name},
         )
@@ -121,6 +149,7 @@ def spmm_dist(
             dist.t_ell_rem,
             dist.send_idx,
             dist.t_send_idx,
+            diag_in,
         )
 
     if dist.halo == "alltoall":

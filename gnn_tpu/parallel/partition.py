@@ -164,6 +164,13 @@ class DistGraph(Module):
     # local aggregation runs concurrently with the all_to_all in flight.
     ell_rem: Optional[EllLayout] = None  # remote-source in-edges (recv coords)
     t_ell_rem: Optional[EllLayout] = None  # same for backward
+    # halo='overlap' + local_blocked=R only: [P, B, R, R] block-diagonal
+    # values of each chip's LOCAL intra-window edges (B = n_max // R).
+    # Forward aggregates them on the MXU (einsum) instead of gather slots;
+    # the backward dense operator is the same tensor with the window axes
+    # transposed, so no separate transpose blocks are stored (see
+    # parallel/halo.py). These edges are EXCLUDED from ell/t_ell.
+    diag: Optional[jax.Array] = None
     # Edge-parallel arrays (None when edge_parallel=False):
     esrc_coord: Optional[jax.Array] = None  # [P, E_max] i32, pad -> n_buf
     edst_row: Optional[jax.Array] = None  # [P, E_max] i32, pad -> n_max
@@ -177,6 +184,7 @@ class DistGraph(Module):
     mesh: object = static_field(default=None)  # jax.sharding.Mesh (hashable)
     axis_name: str = static_field(default="data")
     halo: str = static_field(default="allgather")  # or "alltoall"
+    block_rows: int = static_field(default=0)  # R of the local diag blocks
     h_max: int = static_field(default=0)  # padded per-pair halo size
     e_max: int = static_field(default=0)  # padded per-chip edge count
     has_weight: bool = static_field(default=False)  # baked edge weights?
@@ -267,6 +275,8 @@ def partition_graph(
     axis_name: str = "data",
     halo: str = "allgather",
     edge_parallel: bool = True,
+    local_blocked: int = 0,
+    block_dtype=None,
 ) -> DistGraph:
     """Partition a COO graph by contiguous node ranges over ``num_parts``.
 
@@ -285,6 +295,17 @@ def partition_graph(
     ``edge_parallel``: also build the flat per-edge arrays + incidence ELL
     that dynamic-per-edge-weight layers (GAT, SAGE-max, spmm_edge_weighted)
     need; costs roughly one more E-sized int array set.
+
+    ``local_blocked`` (requires halo='overlap'): window size R > 0 bakes
+    each chip's local intra-window edges (src//R == dst//R in local
+    coordinates) into dense [B, R, R] diagonal blocks aggregated on the MXU
+    — the distributed extension of the single-chip cluster-packed layout
+    (graphs/blocked.py), sidestepping the per-edge gather wall for the
+    community-captured fraction. Pair with a community-packing node order
+    (``graphs.cluster_order(..., pack_rows=R)``) BEFORE partitioning so the
+    windows actually capture communities; without it the blocks are mostly
+    empty and only cost HBM reads. ``block_dtype`` (e.g. jnp.bfloat16)
+    halves the block read at ~0.4% weight rounding. Static weights only.
     """
     if num_parts is None:
         if mesh is None:
@@ -296,8 +317,20 @@ def partition_graph(
     src, dst = ei[0].astype(np.int64), ei[1].astype(np.int64)
     w = None if edge_weight is None else np.asarray(edge_weight, np.float32)
     P = int(num_parts)
+    R_blk = int(local_blocked)
+    if R_blk:
+        if halo != "overlap":
+            raise ValueError(
+                "local_blocked requires halo='overlap' (the mode with a "
+                "local/remote edge split)"
+            )
+        if R_blk % 8:
+            raise ValueError("local_blocked must be a multiple of 8")
     n_max = -(-num_nodes // P)
-    n_max = ((n_max + 7) // 8) * 8  # sublane-align owned ranges
+    # Align owned ranges: to the window size when blocking (so per-chip
+    # windows tile n_max exactly), to the sublane count otherwise.
+    align = R_blk if R_blk else 8
+    n_max = ((n_max + align - 1) // align) * align
 
     # Collect per-part sorted local edge lists first.
     gidx = np.arange(len(src), dtype=np.int64)
@@ -389,20 +422,36 @@ def partition_graph(
             return out
 
         fl, fr, bl, br = [], [], [], []
+        if R_blk:
+            B_blk = n_max // R_blk
+            diag_np = np.zeros((P, B_blk, R_blk, R_blk), np.float32)
         for p in range(P):
-            for parts, need, loc_out, rem_out in (
-                (fwd_parts, need_f, fl, fr),
-                (bwd_parts, need_b, bl, br),
+            for parts, need, loc_out, rem_out, is_fwd in (
+                (fwd_parts, need_f, fl, fr, True),
+                (bwd_parts, need_b, bl, br, False),
             ):
                 cols, rows, w_p = parts[p]
                 m = np.minimum(cols // n_max, P - 1) == p
-                loc_out.append(
-                    _build_part(
-                        cols[m] - p * n_max,
-                        rows[m],
-                        None if w_p is None else w_p[m],
-                    )
-                )
+                lc, lr = cols[m] - p * n_max, rows[m]
+                lw = None if w_p is None else w_p[m]
+                if R_blk:
+                    # Intra-window local edges go to the dense diagonal
+                    # blocks (forward accumulates them; the backward dense
+                    # operator is the transposed blocks — same edge set,
+                    # since both endpoints are owned, so nothing to build).
+                    dn = lc // R_blk == lr // R_blk
+                    if is_fwd and dn.any():
+                        np.add.at(
+                            diag_np[p].reshape(-1),
+                            (lr[dn] // R_blk) * R_blk * R_blk
+                            + (lr[dn] % R_blk) * R_blk
+                            + (lc[dn] % R_blk),
+                            1.0 if lw is None else lw[dn],
+                        )
+                    keep = ~dn
+                    lc, lr = lc[keep], lr[keep]
+                    lw = None if lw is None else lw[keep]
+                loc_out.append(_build_part(lc, lr, lw))
                 r = ~m
                 rem_out.append(
                     _build_part(
@@ -460,6 +509,11 @@ def partition_graph(
         in_degree = jnp.asarray(deg_np)
         inc = _pad_stack_ells(incs, n_buf)
 
+    diag = None
+    if R_blk:
+        diag = jnp.asarray(diag_np)
+        if block_dtype is not None:
+            diag = diag.astype(block_dtype)
     return DistGraph(
         ell=_pad_stack_ells(fwd_ells, n_max),
         t_ell=_pad_stack_ells(bwd_ells, n_max),
@@ -467,6 +521,7 @@ def partition_graph(
         t_send_idx=t_send_idx,
         ell_rem=ell_rem,
         t_ell_rem=t_ell_rem,
+        diag=diag,
         esrc_coord=esrc_coord,
         edst_row=edst_row,
         inc=inc,
@@ -478,6 +533,7 @@ def partition_graph(
         mesh=mesh,
         axis_name=axis_name,
         halo=halo,
+        block_rows=R_blk,
         h_max=int(h_max),
         e_max=int(e_max),
         has_weight=edge_weight is not None,

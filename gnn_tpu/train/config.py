@@ -66,12 +66,18 @@ class DistConfig:
     ``cluster_order``: relabel nodes by discovered community before
     partitioning (graphs.cluster_order), so the contiguous node-range
     partition cuts between communities — shrinks the halo toward the
-    graph's inter-community edge fraction (docs/SCALING.md)."""
+    graph's inter-community edge fraction (docs/SCALING.md).
+    ``local_blocked``: window size R > 0 additionally bakes each chip's
+    local intra-window edges into dense [B, R, R] MXU blocks (the
+    distributed cluster-packed layout; implies halo='overlap' and packs
+    the cluster order into R-row windows — see
+    parallel.partition_graph(local_blocked=...))."""
 
     num_parts: int = 0
     axis_name: str = "data"
     halo: str = "alltoall"
     cluster_order: bool = False
+    local_blocked: int = 0
 
 
 @dataclass

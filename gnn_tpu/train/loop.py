@@ -143,17 +143,30 @@ def fit(
         mesh = make_mesh(
             (n_parts,), (cfg.dist.axis_name,), devices=devs[:n_parts]
         )
-        if cfg.dist.cluster_order:
+        halo = cfg.dist.halo
+        R_blk = int(cfg.dist.local_blocked)
+        if R_blk:
+            halo = "overlap"  # the only mode with a local/remote edge split
+        if cfg.dist.cluster_order or R_blk:
             # Community-contiguous relabeling: the node-range partition then
             # cuts between communities, shrinking the halo (exact — GNNs are
             # permutation-equivariant; labels/masks permute alongside).
+            # With local_blocked, also pack communities into R-row windows
+            # so the dense diagonal blocks capture the intra-community edges.
             from gnn_tpu.graphs import cluster_order as _cluster_order
 
             data = data.permute_nodes(
-                _cluster_order(np.asarray(data.edge_index), data.num_nodes)
+                _cluster_order(
+                    np.asarray(data.edge_index),
+                    data.num_nodes,
+                    pack_rows=R_blk,
+                )
             )
         graph = data.to_dist_graph(
-            mesh=mesh, halo=cfg.dist.halo, axis_name=cfg.dist.axis_name
+            mesh=mesh,
+            halo=halo,
+            axis_name=cfg.dist.axis_name,
+            local_blocked=R_blk,
         )
         x_in = shard_node_array(graph, data.x, mesh)
         y_in = graph.shard_nodes(data.y)

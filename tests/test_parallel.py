@@ -249,6 +249,86 @@ def test_overlap_gcn_model(rng, mesh):
     np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
 
 
+# -- local_blocked: per-chip MXU diagonal blocks (distributed blocked.py) ----
+
+
+def _clustered_graph(rng, n=120, pack_rows=16):
+    """SBM relabeled by the community-packing order, GCN-normalized."""
+    data = stochastic_block_model(num_nodes=n, num_classes=4, seed=23)
+    ei = np.asarray(data.edge_index)
+    perm = graphs.cluster_order(ei, n, pack_rows=pack_rows)
+    old2new = np.empty(n, np.int64)
+    old2new[perm] = np.arange(n)
+    ei = old2new[ei]
+    ei, w = graphs.gcn_norm(ei, num_nodes=n)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    return ei, w, x, n
+
+
+def test_local_blocked_matches_dense(rng, mesh):
+    ei, w, x, n = _clustered_graph(rng)
+    dist = partition_graph(
+        ei, w, num_nodes=n, mesh=mesh, halo="overlap", local_blocked=16
+    )
+    assert dist.diag is not None and dist.block_rows == 16
+    # the packing order must give the windows real community capture
+    assert float(jnp.sum(dist.diag != 0)) > 0.3 * len(ei[0])
+    x_sh = shard_node_array(dist, x, mesh)
+    out = np.asarray(dist.unshard_nodes(spmm_dist(dist, x_sh, mesh)))
+    dense = np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_local_blocked_grad_matches_dense(rng, mesh):
+    ei, w, x, n = _clustered_graph(rng)
+    dist = partition_graph(
+        ei, w, num_nodes=n, mesh=mesh, halo="overlap", local_blocked=16
+    )
+    x_sh = shard_node_array(dist, x, mesh)
+    dense = jnp.asarray(np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n)))
+    g_dist = jax.grad(lambda xs: jnp.sum(jnp.sin(spmm_dist(dist, xs, mesh))))(x_sh)
+    g_dense = jax.grad(lambda x: jnp.sum(jnp.sin(dense @ x)))(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(dist.unshard_nodes(g_dist)), g_dense, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_local_blocked_uneven_nodes(rng, mesh):
+    """N not divisible by P*R: window-aligned padding rows must stay inert."""
+    ei, w, x, n = _clustered_graph(rng, n=117)
+    dist = partition_graph(
+        ei, w, num_nodes=n, mesh=mesh, halo="overlap", local_blocked=16
+    )
+    assert dist.n_max % 16 == 0
+    x_sh = shard_node_array(dist, x, mesh)
+    out = np.asarray(dist.unshard_nodes(spmm_dist(dist, x_sh, mesh)))
+    dense = np.asarray(graphs.to_dense_adj(ei, w, num_nodes=n))
+    np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_local_blocked_gcn_model(rng, mesh):
+    from gnn_tpu.models import GCN
+
+    ei, w, x, n = _clustered_graph(rng)
+    adj = graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=n)
+    dist = partition_graph(
+        ei, w, num_nodes=n, mesh=mesh, halo="overlap", local_blocked=16
+    )
+    model = GCN(16, 8, 3, key=KEY, dropout=0.0)
+    single = np.asarray(model(jnp.asarray(x), adj))
+    x_sh = shard_node_array(dist, x, mesh)
+    out = np.asarray(dist.unshard_nodes(model(x_sh, dist)))
+    np.testing.assert_allclose(out, single, rtol=1e-3, atol=1e-4)
+
+
+def test_local_blocked_requires_overlap(rng):
+    ei = np.asarray([[0, 1], [1, 0]])
+    with pytest.raises(ValueError, match="overlap"):
+        partition_graph(
+            ei, None, num_nodes=2, num_parts=2, halo="alltoall", local_blocked=16
+        )
+
+
 # -- edge-parallel primitives: dynamic weights, GAT, SAGE over DistGraph -----
 
 HALO_MODES = ("allgather", "alltoall", "overlap")
@@ -460,6 +540,34 @@ def test_distributed_fit_matches_single_chip(rng, mesh):
 
     cfg2 = Config.from_json(cfg.to_json())
     cfg2.dist.num_parts = 8
+    _, _, hist_dist = fit(cfg2, data, verbose=False)
+
+    assert len(hist_single) == len(hist_dist) > 0
+    for m1, m2 in zip(hist_single, hist_dist):
+        np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-4)
+        for k in ("train_acc", "val_acc", "test_acc"):
+            if k in m1:
+                np.testing.assert_allclose(m1[k], m2[k], atol=1e-6)
+
+
+def test_distributed_fit_local_blocked_matches_single_chip(rng, mesh):
+    """fit() with dist.local_blocked: the cluster-packed order + per-chip
+    MXU blocks must not move loss/accuracy vs the single-chip run."""
+    from gnn_tpu.train import Config, fit
+
+    data = stochastic_block_model(num_nodes=120, num_classes=3, seed=31)
+    cfg = Config()
+    cfg.model.name = "gcn"
+    cfg.model.hidden = 8
+    cfg.model.dropout = 0.0
+    cfg.optim.lr = 0.01
+    cfg.train.epochs = 6
+    cfg.train.eval_every = 2
+    _, _, hist_single = fit(cfg, data, verbose=False)
+
+    cfg2 = Config.from_json(cfg.to_json())
+    cfg2.dist.num_parts = 8
+    cfg2.dist.local_blocked = 8
     _, _, hist_dist = fit(cfg2, data, verbose=False)
 
     assert len(hist_single) == len(hist_dist) > 0
