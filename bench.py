@@ -119,6 +119,25 @@ def main():
     dt_gather = _time(_chain(gather_body, iters), x, iters) - dt_nrm
     ns_per_row = dt_gather / num_edges * 1e9
 
+    # Calibration sanity (docs/PERF.md roadmap #5): the measured per-row
+    # gather rate for 512 B rows sits at ~2-4 ns on this chip class. A value
+    # far outside that band means the calibration itself was optimized away
+    # (or the run is not measuring the chip) — refuse to print a bogus
+    # vs_baseline rather than silently record one.
+    import sys
+
+    if not (1.5 <= ns_per_row <= 4.5):
+        print(
+            f"bench: calibrated gather rate {ns_per_row:.2f} ns/row is "
+            "outside the expected [1.5, 4.5] band",
+            file=sys.stderr,
+        )
+    if not (0.8 <= ns_per_row <= 10.0):
+        raise SystemExit(
+            f"bench: gather-rate calibration insane ({ns_per_row:.2f} "
+            "ns/row) — the SOL denominator cannot be trusted"
+        )
+
     # --- the measured step: SpMM forward + backward dx ----------------------
     def step(x):
         dx = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj, x) ** 2))(x)
