@@ -30,15 +30,33 @@ def main():
     ap.add_argument("--features", type=int, default=128)
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--classes", type=int, default=40)
+    ap.add_argument(
+        "--graph",
+        default="powerlaw",
+        choices=["powerlaw", "clustered"],
+        help="edge structure: pure power-law (no community) or "
+        "clustered_power_law with shuffled ids (layouts must discover it)",
+    )
+    ap.add_argument(
+        "--layout",
+        default="csr",
+        choices=["csr", "sorted", "cluster"],
+        help="SpMM layout (static-weight models only): generic ELL, "
+        "degree-bucket sorted ELL + hub-dense block, or the "
+        "cluster-packed block-diagonal layout (graphs/blocked.py)",
+    )
     args = ap.parse_args()
 
     from gnn_tpu import graphs, nn, optim
-    from gnn_tpu.graphs.generate import power_law
+    from gnn_tpu.graphs.generate import clustered_power_law, power_law
     from gnn_tpu.models import GAT, GCN, GraphSAGE
     from gnn_tpu.utils.profiling import time_fn
 
     N, F = args.nodes, args.features
-    ei = power_law(N, args.edges, seed=0)
+    if args.graph == "clustered":
+        ei = clustered_power_law(N, args.edges, seed=0)
+    else:
+        ei = power_law(N, args.edges, seed=0)
     ei, _ = graphs.to_undirected(ei, num_nodes=N)
     norm = "sym" if args.model == "gcn" else None
     data_ei, w = (
@@ -46,9 +64,24 @@ def main():
         if norm
         else (graphs.add_remaining_self_loops(ei, num_nodes=N)[0], None)
     )
+    if args.layout != "csr" and args.model == "gat":
+        raise SystemExit(
+            "--layout sorted/cluster bakes static weights; GAT's dynamic "
+            "attention needs the generic adjacency (--layout csr)"
+        )
+    layout_kw = {
+        "csr": {},
+        "sorted": {"reorder": True, "hub_dense": 400},
+        "cluster": {"reorder": "cluster", "block_rows": 512},
+    }[args.layout]
     adj = graphs.build_adjacency(
-        data_ei, None if w is None else jnp.asarray(w), num_nodes=N
+        data_ei,
+        None if w is None else jnp.asarray(w),
+        num_nodes=N,
+        **layout_kw,
     )
+    # Relabeling layouts speak the permuted node space; the benchmark's x/y
+    # are iid random, so no explicit permutation is needed for timing.
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, args.classes, N), jnp.int32)
@@ -82,6 +115,8 @@ def main():
         json.dumps(
             {
                 "bench": f"e2e_epoch[{args.model}]",
+                "graph": args.graph,
+                "layout": args.layout,
                 "epoch_ms": round(dt * 1e3, 2),
                 "edges_per_s": round(adj.num_edges * layers / dt, 1),
                 "num_edges": adj.num_edges,

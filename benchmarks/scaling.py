@@ -38,18 +38,30 @@ import numpy as np
 
 
 def partition_comm(
-    src: np.ndarray, dst: np.ndarray, num_nodes: int, P: int
+    src: np.ndarray, dst: np.ndarray, num_nodes: int, P: int, R_blk: int = 0
 ) -> dict:
-    """Exact per-chip comm/compute accounting for a 1-D node partition."""
-    n_max = ((-(-num_nodes // P)) + 7) // 8 * 8
+    """Exact per-chip comm/compute accounting for a 1-D node partition.
+
+    ``R_blk``: window size of the distributed blocked layout
+    (partition_graph(local_blocked=R)) — owned ranges align to R and local
+    intra-window edges (src//R == dst//R) leave the gather path for the
+    MXU diagonal blocks; the accounting then also reports the captured /
+    remainder split the per-chip compute model needs."""
+    align = R_blk if R_blk else 8
+    n_max = ((-(-num_nodes // P)) + align - 1) // align * align
     owner_src = np.minimum(src // n_max, P - 1)
     owner_dst = np.minimum(dst // n_max, P - 1)
 
     rows_raw = np.zeros((P, P), np.int64)  # rows chip q must send chip p
     local_edges = np.zeros(P, np.int64)
+    local_cap = np.zeros(P, np.int64)  # blocked-captured local edges
+    cap_mask = (src // R_blk == dst // R_blk) if R_blk else None
     for p in range(P):
         m = owner_dst == p
         local_edges[p] = int(m.sum())
+        if R_blk:
+            # same owner + same window -> dense diagonal block
+            local_cap[p] = int((m & (owner_src == p) & cap_mask).sum())
         cols, owners = src[m], owner_src[m]
         for q in range(P):
             if q != p:
@@ -58,6 +70,9 @@ def partition_comm(
     return {
         "n_max": int(n_max),
         "local_edges_max": int(local_edges.max()),
+        "local_cap_max": int(local_cap.max()),
+        # remainder max taken per chip (the slow and fast chips can differ)
+        "local_rem_max": int((local_edges - local_cap).max()),
         "rows_raw": rows_raw,
         "h_max": int(h_max),
     }
@@ -74,6 +89,7 @@ def model(
     chips_per_host: int,
     pad_factor: float,
     bytes_per_el: int = 4,
+    block_ns: float = 0.0,
 ) -> dict:
     """Roofline step-time model from the accounting (both directions)."""
     rows = acc["rows_raw"]
@@ -94,7 +110,16 @@ def model(
         dcn_bytes = 0
     ici_bytes = max(bytes_padded - dcn_bytes, 0)
     t_comm = ici_bytes / bw_ici + dcn_bytes / bw_dcn
-    t_compute = acc["local_edges_max"] * pad_factor * 2 * gather_ns * 1e-9
+    if block_ns > 0:
+        # distributed blocked layout: captured local edges ride the MXU at
+        # block_ns/edge (measured ~0.17-0.3, docs/PERF.md), only the
+        # remainder pays the gather wall
+        t_compute = (
+            acc["local_cap_max"] * block_ns
+            + acc["local_rem_max"] * pad_factor * gather_ns
+        ) * 2e-9
+    else:
+        t_compute = acc["local_edges_max"] * pad_factor * 2 * gather_ns * 1e-9
     t = max(t_comm, t_compute)
     return {
         "halo_rows_raw_per_chip": int(per_chip_raw),
@@ -128,6 +153,14 @@ def main():
     ap.add_argument("--chips-per-host", type=int, default=8)
     ap.add_argument("--pad-factor", type=float, default=1.06,
                     help="ELL slot padding factor of the local layout")
+    ap.add_argument("--local-blocked", type=int, default=0,
+                    help="window size R of the distributed blocked layout "
+                    "(0 = plain ELL local path); aligns owned ranges to R "
+                    "and moves captured intra-window local edges to the "
+                    "MXU block rate")
+    ap.add_argument("--block-ns", type=float, default=0.25,
+                    help="per-edge cost of the MXU diagonal-block path "
+                    "(measured 0.17-0.3 ns/edge, docs/PERF.md round 3)")
     args = ap.parse_args()
 
     import jax
@@ -161,13 +194,20 @@ def main():
 
     t1 = None
     for P in (1, 2, 4, 8, 16, 32):
-        acc = partition_comm(src, dst, args.nodes, P)
+        acc = partition_comm(
+            src, dst, args.nodes, P, R_blk=args.local_blocked
+        )
         m = model(
             acc, P, args.feat,
             gather_ns=args.gather_ns, bw_ici=args.bw_ici,
             bw_dcn=args.bw_dcn, chips_per_host=args.chips_per_host,
             pad_factor=args.pad_factor,
+            block_ns=args.block_ns if args.local_blocked else 0.0,
         )
+        if args.local_blocked:
+            m["blocked_capture"] = round(
+                acc["local_cap_max"] / max(acc["local_edges_max"], 1), 3
+            )
         if t1 is None:
             t1 = m["t_step_ms"]
         eff = t1 / (P * m["t_step_ms"]) if m["t_step_ms"] else 1.0

@@ -45,6 +45,27 @@ def test_cluster_pack_order_is_permutation_and_groups_labels():
         assert runs <= -(-size // 64) + 1, (l, runs, size)
 
 
+def test_cluster_order_pack_rows_boundary_invariant():
+    """cluster_order(pack_rows=R): every R-aligned boundary — and hence
+    every partition boundary, since partition_graph rounds n_max to a
+    multiple of R under local_blocked — splits at most one community."""
+    ei, _ = _clustered_graph(N=600, k=12, seed=3)
+    R = 32
+    perm = graphs.cluster_order(ei, 600, pack_rows=R)
+    assert sorted(perm.tolist()) == list(range(600))
+    # recover the communities the order was built from (same seeded LP)
+    order0, rp0 = native.sort_edges_csr(ei[0], ei[1], 600)
+    labels, _ = native.label_propagation(
+        rp0, ei[0].astype(np.int64)[order0], max_size=R, n_iters=10, seed=0
+    )
+    lab_new = labels[perm]
+    for b in range(0, 600 - R, R):
+        # communities straddling the boundary at b+R
+        left, right = lab_new[b : b + R], lab_new[b + R :]
+        straddle = set(np.unique(left)) & set(np.unique(right))
+        assert len(straddle) <= 1, (b, straddle)
+
+
 def test_label_propagation_recovers_sbm_blocks():
     N, k = 400, 4
     data = stochastic_block_model(num_nodes=N, num_classes=k, seed=3)
