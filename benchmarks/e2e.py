@@ -98,8 +98,11 @@ def main():
     opt = optim.adam(1e-2)
     opt_state = opt.init(params)
 
+    # adj is a jit ARGUMENT, not a closure constant: closure constants embed
+    # in the serialized HLO, and the blocked layout's [B, R, R] diag blows
+    # the proxied-compile payload limit (HTTP 413) as a constant.
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, adj):
         def loss_fn(p):
             logits = nn.combine(p, static)(x, adj)
             return nn.cross_entropy(logits, y)
@@ -109,7 +112,9 @@ def main():
         return optim.apply_updates(params, upd), opt_state, loss
 
     iters = 3 if args.quick else 10
-    dt = time_fn(lambda p, o: step(p, o)[0], params, opt_state, iters=iters)
+    dt = time_fn(
+        lambda p, o: step(p, o, adj)[0], params, opt_state, iters=iters
+    )
     layers = getattr(model, "num_layers", 2)
     print(
         json.dumps(

@@ -178,7 +178,7 @@ class GATConv(MessagePassing):
         else:
             out = jnp.mean(out, axis=1)
         if self.bias is not None:
-            out = out + self.bias
+            out = out + self.bias.astype(out.dtype)
         if return_attention:
             return out, alpha
         return out
@@ -238,5 +238,5 @@ class GATConv(MessagePassing):
         else:
             out = jnp.mean(out, axis=1)
         if self.bias is not None:
-            out = out + self.bias
+            out = out + self.bias.astype(out.dtype)
         return out

@@ -101,7 +101,7 @@ class GCNConv(MessagePassing):
                 h = self.dropout(h, key=key)
         out = spmm(adj, h, backend=self.backend)
         if self.bias is not None:
-            out = out + self.bias
+            out = out + self.bias.astype(out.dtype)
         if state is not None:
             return out, state
         return out

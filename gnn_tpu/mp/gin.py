@@ -42,4 +42,4 @@ class GINConv(MessagePassing):
     def __call__(self, x: jax.Array, adj: Adjacency, *, key=None) -> jax.Array:
         eps = self.eps if self.train_eps else jax.lax.stop_gradient(self.eps)
         agg = spmm(adj.with_weight(None), x)
-        return self.mlp((1.0 + eps) * x + agg, key=key)
+        return self.mlp((1.0 + eps).astype(x.dtype) * x + agg, key=key)

@@ -56,7 +56,9 @@ class Linear(Module):
             preferred_element_type=jnp.float32,
         ).astype(x.dtype)
         if self.bias is not None:
-            y = y + self.bias
+            # cast-to-activation-dtype: bf16 activations with f32 master
+            # params must not silently promote the output to f32
+            y = y + self.bias.astype(y.dtype)
         return y
 
 

@@ -45,12 +45,15 @@ class LayerNorm(Module):
         self.bias = jnp.zeros((num_features,), dtype) if elementwise_affine else None
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # Normalization statistics in f32 even for bf16 activations (the
+        # standard TPU mixed-precision recipe); output follows input dtype.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.weight is not None:
             y = y * self.weight + self.bias
-        return y
+        return y.astype(x.dtype)
 
 
 class BatchNorm(Module):
@@ -93,19 +96,20 @@ class BatchNorm(Module):
 
     def __call__(self, x: jax.Array, state: State):
         running_mean, running_var = state.get(self.stats)
+        xf = x.astype(jnp.float32)  # batch stats in f32 (bf16-safe)
         if self.inference:
             mean, var = running_mean, running_var
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.var(x, axis=reduce_axes)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.var(xf, axis=reduce_axes)
             m = self.momentum
             n = max(int(jnp.size(x) // self.num_features), 1)
             unbiased = var * (n / max(n - 1, 1))
             new_mean = (1 - m) * running_mean + m * jax.lax.stop_gradient(mean)
             new_var = (1 - m) * running_var + m * jax.lax.stop_gradient(unbiased)
             state = state.set(self.stats, (new_mean, new_var))
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.weight is not None:
             y = y * self.weight + self.bias
         return y.astype(x.dtype), state

@@ -203,6 +203,7 @@ def segment_sum_sorted(
     ``dst_sorted`` is only needed for the tiny-graph XLA fallback.
     """
     E, F = msg.shape
+    msg_F = F  # caller-visible width (F below may grow to the lane tile)
     if E != plan.num_edges:
         raise ValueError(f"plan built for {plan.num_edges} edges, got {E}")
     C, R = plan.chunk, plan.rows
@@ -211,6 +212,15 @@ def segment_sum_sorted(
             raise ValueError("graphs smaller than one chunk need dst_sorted")
         return jax.ops.segment_sum(
             msg, dst_sorted, num_nodes, indices_are_sorted=True
+        )
+    if F % 128 != 0:
+        # Mosaic HBM->VMEM slices must be lane-tile (128) aligned along the
+        # feature axis; pad and crop. Narrow F here is typically the final
+        # logits layer (e.g. 40 classes) — the padded DMA bytes are still
+        # far cheaper than XLA's sequential scatter.
+        F = -(-F // 128) * 128
+        msg = jnp.concatenate(
+            [msg, jnp.zeros((E, F - msg.shape[1]), msg.dtype)], axis=1
         )
     if E % 8 != 0:
         # Sublane-pad the edge axis (the plan's DMA bounds assume this).
@@ -257,4 +267,4 @@ def segment_sum_sorted(
         plan.local,
         msg,
     )
-    return out[:num_nodes].astype(msg.dtype)
+    return out[:num_nodes, : msg_F].astype(msg.dtype)

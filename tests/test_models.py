@@ -90,6 +90,40 @@ def test_encoder_gcn_reference_recipe_learns():
     assert acc > 0.8, f"EncoderGCN test accuracy {acc}"
 
 
+def test_gcn_bf16_mixed_precision_learns():
+    """The TPU mixed-precision recipe: bf16 activations (layers follow the
+    input dtype; the MXU's native format), f32 master params + f32 loss
+    (nn.cross_entropy upcasts internally). Grads come back f32 through the
+    cast's VJP, so the optimizer state stays full-precision."""
+    data = stochastic_block_model(num_nodes=200, num_classes=4, seed=7)
+    adj = data.to_adjacency(norm="sym")
+    x16 = data.x.astype(jnp.bfloat16)
+    model = GCN(16, 16, 4, key=KEY, dropout=0.0)
+    params, static = nn.partition(model)
+    opt = optim.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = nn.combine(p, static)(x16, adj)
+            assert logits.dtype == jnp.bfloat16
+            return nn.cross_entropy(logits, data.y, data.train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optim.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(80):
+        params, opt_state, loss = step(params, opt_state)
+    assert loss.dtype == jnp.float32  # loss math upcasts
+    w = params.convs[0].lin.weight
+    assert w.dtype == jnp.float32  # master params stay f32
+    logits = nn.inference_mode(nn.combine(params, static))(x16, adj)
+    acc = float(nn.accuracy(logits, data.y, data.test_mask))
+    assert acc > 0.8, f"bf16 GCN accuracy {acc}"
+
+
 def test_karate_club_overfit():
     """Tiny sanity: 2-layer GCN separates the two factions."""
     data = karate_club()

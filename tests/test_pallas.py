@@ -43,6 +43,24 @@ def test_segment_sum_sorted_matches_oracle(rng, E, N, C, R):
     )
 
 
+@pytest.mark.parametrize("F", [40, 33, 136])
+def test_segment_sum_sorted_lane_unaligned_features(rng, F):
+    """F not a multiple of the 128-lane tile (e.g. a 40-class logits layer)
+    must pad-and-crop, not fail Mosaic's DMA slice alignment (caught on the
+    real chip by the blocked remainder at the output layer)."""
+    E, N = 3000, 700
+    dst = np.sort(rng.integers(0, N, E))
+    msg = rng.normal(size=(E, F)).astype(np.float32)
+    plan = build_chunk_plan(dst, N)
+    out = segment_sum_sorted(
+        jnp.asarray(msg), plan, N, dst_sorted=jnp.asarray(dst), interpret=True
+    )
+    assert out.shape == (N, F)
+    np.testing.assert_allclose(
+        np.asarray(out), oracle(dst, msg, N), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_plan_covers_every_edge_exactly_once(rng):
     for seed in range(3):
         r = np.random.default_rng(seed)
