@@ -296,7 +296,10 @@ def spmm(
     if x.ndim != 2:
         raise ValueError(f"spmm expects x of rank 2 [N, F], got {x.shape}")
     # Distributed dispatch: a partitioned graph routes to the shard_map path,
-    # so GCN/GIN layers run multi-chip without any code change.
+    # so GCN/GIN layers run multi-chip without any code change (GIN's
+    # unweighted sum rides DistGraph.with_weight(None) — identity on an
+    # unweighted partition, the dynamic unit-weight path on a weighted one;
+    # parity-tested in tests/test_parallel.py::test_dist_models_transparent).
     from gnn_tpu.parallel.partition import DistGraph
 
     if isinstance(adj, DistGraph):
@@ -304,6 +307,13 @@ def spmm(
             raise ValueError(
                 "DistGraph has no mesh: partition_graph(..., mesh=mesh)"
             )
+        if adj.unit_weight and adj.has_weight:
+            # with_weight(None) view of a weight-baked partition: unit
+            # weights at real edges, zeros at padding slots.
+            from gnn_tpu.parallel.halo import edge_valid_mask, spmm_dist_dynw
+
+            ones = edge_valid_mask(adj).astype(jnp.float32)
+            return spmm_dist_dynw(adj, jax.lax.stop_gradient(ones), x)
         from gnn_tpu.parallel.halo import spmm_dist
 
         return spmm_dist(adj, x, adj.mesh, axis_name=adj.axis_name)

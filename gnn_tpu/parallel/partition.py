@@ -179,6 +179,9 @@ class DistGraph(Module):
     edge_id: Optional[jax.Array] = None  # [P, E_max] i32 input-order edge id,
     # pad -> global num_edges (feeds shard_edge_array's zero slot)
     num_parts: int = static_field(default=1)
+    # with_weight(None) on a weight-baked partition: route spmm through the
+    # dynamic edge-parallel path with unit weights (see with_weight below).
+    unit_weight: bool = static_field(default=False)
     n_max: int = static_field(default=0)  # owned nodes per chip (padded)
     num_nodes: int = static_field(default=0)  # true global node count
     mesh: object = static_field(default=None)  # jax.sharding.Mesh (hashable)
@@ -197,6 +200,36 @@ class DistGraph(Module):
         if self.halo in ("alltoall", "overlap"):
             return self.n_max + self.num_parts * self.h_max
         return self.num_parts * self.n_max
+
+    def with_weight(self, weight) -> "DistGraph":
+        """Adjacency-protocol compatibility (graphs/adjacency.py:96) so
+        layers that strip the baked edge weights — GIN's unweighted sum,
+        ``spmm(adj.with_weight(None), x)`` — run unchanged on a DistGraph.
+
+        ``weight=None`` only. If the partition was built WITHOUT edge
+        weights the ELL slots are already 1.0 and this is the identity; if
+        weights were baked in, the returned view routes ``spmm`` through the
+        dynamic edge-parallel path with unit weights (ones at real edges,
+        zeros at padding slots) — correct but slower than the static ELLs,
+        so partition without ``edge_weight`` when every layer is unweighted.
+        Replacing weights post-partition is not supported: static weights
+        are baked into the ELL slot tables at build time."""
+        if weight is not None:
+            raise ValueError(
+                "DistGraph.with_weight supports only None (unit weights); "
+                "per-edge weights are baked at partition_graph time — "
+                "rebuild the partition, or use spmm_edge_weighted for "
+                "differentiable weights"
+            )
+        if not self.has_weight:
+            return self
+        if self.esrc_coord is None:
+            raise ValueError(
+                "with_weight(None) on a weight-baked DistGraph needs the "
+                "edge-parallel arrays: partition_graph(..., "
+                "edge_parallel=True)"
+            )
+        return self.replace(unit_weight=True)
 
     def shard_edge_array(self, w, fill=0) -> jax.Array:
         """Map a per-edge array given in partition_graph's INPUT edge order
