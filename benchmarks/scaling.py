@@ -190,6 +190,20 @@ def main():
     ei, _ = graphs.gcn_norm(ei, num_nodes=args.nodes, self_loops=True)
     src = np.asarray(ei[0], np.int64)
     dst = np.asarray(ei[1], np.int64)
+    if args.local_blocked:
+        # Mirror the deployed path: fit() repacks nodes with
+        # cluster_order(pack_rows=R) BEFORE partitioning (train/loop.py), so
+        # the capture accounting must run on the same packed order — on the
+        # raw order the R-windows need not align with communities and the
+        # prediction would diverge from the deployed layout.
+        from gnn_tpu.graphs import cluster_order
+
+        perm = cluster_order(  # new -> old
+            np.stack([src, dst]), args.nodes, pack_rows=args.local_blocked
+        )
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        src, dst = inv[src], inv[dst]
     E = len(src)
 
     t1 = None

@@ -154,6 +154,12 @@ def cluster_order(
     intra-community edges)."""
     from gnn_tpu import native
 
+    if pack_rows and max_size and max_size != pack_rows:
+        raise ValueError(
+            f"cluster_order: pack_rows={pack_rows} forces the community "
+            f"size cap, conflicting with max_size={max_size} — pass only "
+            "one (pack_rows implies max_size=pack_rows)"
+        )
     ei = np.asarray(edge_index)
     order0, rp0 = native.sort_edges_csr(ei[0], ei[1], num_nodes)
     labels, _ = native.label_propagation(

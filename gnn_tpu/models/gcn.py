@@ -115,12 +115,16 @@ class EncoderGCN(Module):
         state: State,
         *,
         key: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
     ):
+        """``mask`` ([N] bool): validity mask for the mid-block BatchNorm
+        statistics — required when x is in the padded distributed node
+        layout so padding rows don't skew the batch stats."""
         n = len(self.convs)
         keys = jax.random.split(key, n + 2) if key is not None else [None] * (n + 2)
         x = self.pre(x, key=keys[0])
         for i, conv in enumerate(self.convs):
-            x, state = conv(x, adj, state, key=keys[i + 1])
+            x, state = conv(x, adj, state, key=keys[i + 1], mask=mask)
             x = tanh(x)  # main.cpp:23-26: tanh between conv layers
         x = self.post(x, key=keys[-1])
         return x, state

@@ -87,15 +87,18 @@ class GCNConv(MessagePassing):
         state: Optional[State] = None,
         *,
         key: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
     ):
         """adj must carry the gcn_norm edge weights
         (``Data.to_adjacency(norm='sym')``). Returns y, or (y, state) when a
-        state store is passed (needed iff mid_block)."""
+        state store is passed (needed iff mid_block). ``mask`` ([N] bool)
+        excludes rows from the mid-block BatchNorm statistics — pass the
+        validity mask when x is in the padded distributed layout."""
         h = self.lin(x)
         if self.use_mid_block:
             if state is None:
                 raise ValueError("mid_block GCNConv needs the State store")
-            h, state = self.batch_norm(h, state)
+            h, state = self.batch_norm(h, state, mask=mask)
             h = relu(h)
             if self.dropout is not None:
                 h = self.dropout(h, key=key)

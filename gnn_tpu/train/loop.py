@@ -125,12 +125,20 @@ def fit(
             f"over dist.num_parts={cfg.dist.num_parts} chips"
         )
     if distributed and state is not None:
-        raise ValueError(
-            "models with buffer state (BatchNorm running stats) cannot "
-            "train on a DistGraph yet: batch statistics over the padded "
-            "node layout would fold padding rows in. Use a stateless "
-            "model (e.g. 'gcn', 'sage', 'gat') or single-chip."
-        )
+        # BatchNorm models train distributed via the mask-aware batch
+        # statistics: the padded layout's validity mask is passed through
+        # the model so padding rows never enter the stats. The model must
+        # accept a ``mask`` kwarg (EncoderGCN and GCNConv do).
+        import inspect
+
+        if "mask" not in inspect.signature(type(model).__call__).parameters:
+            raise ValueError(
+                f"{type(model).__name__} carries buffer state (BatchNorm "
+                "running stats) but its __call__ accepts no 'mask' kwarg: "
+                "batch statistics over the padded distributed node layout "
+                "would fold padding rows in. Add mask support (see "
+                "nn.BatchNorm / models.EncoderGCN) or train single-chip."
+            )
     if distributed:
         from gnn_tpu.parallel import make_mesh, shard_node_array
 
@@ -145,8 +153,20 @@ def fit(
         )
         halo = cfg.dist.halo
         R_blk = int(cfg.dist.local_blocked)
-        if R_blk:
-            halo = "overlap"  # the only mode with a local/remote edge split
+        if R_blk and halo != "overlap":
+            # local_blocked needs the local/remote edge split that only the
+            # 'overlap' mode builds (config docs: "implies halo='overlap'").
+            # The default 'alltoall' upgrades silently; a non-default choice
+            # was deliberate, so don't discard it without notice (ADVICE r3).
+            if halo != "alltoall":
+                import warnings
+
+                warnings.warn(
+                    f"dist.local_blocked={R_blk} requires halo='overlap'; "
+                    f"overriding dist.halo='{halo}'",
+                    stacklevel=2,
+                )
+            halo = "overlap"
         if cfg.dist.cluster_order or R_blk:
             # Community-contiguous relabeling: the node-range partition then
             # cuts between communities, shrinking the halo (exact — GNNs are
@@ -180,7 +200,15 @@ def fit(
             )
             for s in ("train", "val", "test")
         }
+        # Validity mask over the padded layout (False on padding rows) for
+        # mask-aware BatchNorm statistics in stateful models.
+        bn_mask = (
+            graph.shard_nodes(jnp.ones(data.num_nodes, bool), fill=False)
+            if state is not None
+            else None
+        )
     else:
+        bn_mask = None
         # Single-chip full graph: optionally relabel nodes for the
         # combine-free sorted layout or the community-packed blocked one
         # (exact — GNNs are permutation-equivariant; metrics/masks are
@@ -293,7 +321,12 @@ def fit(
             def loss_fn(p):
                 m = nn.combine(p, static)
                 if state is not None:
-                    logits, new_state = m(x_in, graph, state, key=key)
+                    if bn_mask is not None:
+                        logits, new_state = m(
+                            x_in, graph, state, key=key, mask=bn_mask
+                        )
+                    else:
+                        logits, new_state = m(x_in, graph, state, key=key)
                 else:
                     logits, new_state = m(x_in, graph, key=key), None
                 return nn.cross_entropy(logits, y_in, train_mask_in), new_state

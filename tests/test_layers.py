@@ -54,6 +54,29 @@ def test_batchnorm_train_eval_split():
     np.testing.assert_allclose(var, 0.5 * 1.0 + 0.5 * np.array([2.0, 200.0]), rtol=1e-5)
 
 
+def test_batchnorm_masked_stats_match_unpadded():
+    """Masked BatchNorm over [real | padding] rows == unmasked BatchNorm
+    over the real rows alone: outputs on real rows, and the running-stat
+    update, are identical (the property that lets BatchNorm models train on
+    the padded distributed layout)."""
+    rng = np.random.default_rng(0)
+    x_real = jnp.asarray(rng.normal(size=(12, 4)).astype(np.float32))
+    pad = jnp.full((4, 4), 7.5)  # garbage that would skew unmasked stats
+    x_pad = jnp.concatenate([x_real, pad], axis=0)
+    mask = jnp.concatenate([jnp.ones(12, bool), jnp.zeros(4, bool)])
+
+    bn = nn.BatchNorm(4, momentum=0.3)
+    y_ref, st_ref = bn(x_real, nn.init_state(bn))
+    y_mask, st_mask = bn(x_pad, nn.init_state(bn), mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(y_mask)[:12], np.asarray(y_ref), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(st_ref.get(bn.stats), st_mask.get(bn.stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    with pytest.raises(ValueError, match="mask shape"):
+        bn(x_pad, nn.init_state(bn), mask=mask[:3])
+
+
 def test_dropout_train_and_scale():
     d = nn.Dropout(rate=0.5)
     x = jnp.ones((1000,))

@@ -578,18 +578,58 @@ def test_distributed_fit_local_blocked_matches_single_chip(rng, mesh):
                 np.testing.assert_allclose(m1[k], m2[k], atol=1e-6)
 
 
-def test_distributed_fit_rejects_batchnorm_models(rng, mesh):
-    """BatchNorm batch stats over the padded layout would count padding
-    rows; fit() must refuse loudly rather than silently skew."""
+def test_distributed_fit_encoder_gcn_matches_single_chip(rng, mesh):
+    """The reference flagship (EncoderGCN, main.cpp:10-30, with the
+    hard-wired BatchNorm mid-block of src/graph.cpp:160-175) trains
+    distributed: mask-aware batch statistics exclude the padding rows, so
+    loss/accuracy match the single-chip run step-for-step (VERDICT r3
+    item 4)."""
     from gnn_tpu.train import Config, fit
 
-    data = stochastic_block_model(num_nodes=64, num_classes=3, seed=5)
+    data = stochastic_block_model(num_nodes=120, num_classes=3, seed=31)
     cfg = Config()
-    cfg.model.name = "encoder_gcn"  # has BatchNorm mid-blocks
+    cfg.model.name = "encoder_gcn"
+    cfg.model.dropout = 0.0
+    cfg.optim.lr = 0.01
+    cfg.train.epochs = 6
+    cfg.train.eval_every = 2
+    _, _, hist_single = fit(cfg, data, verbose=False)
+
+    cfg2 = Config.from_json(cfg.to_json())
+    cfg2.dist.num_parts = 8
+    _, _, hist_dist = fit(cfg2, data, verbose=False)
+
+    assert len(hist_single) == len(hist_dist) > 0
+    for m1, m2 in zip(hist_single, hist_dist):
+        np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-4)
+        for k in ("train_acc", "val_acc", "test_acc"):
+            if k in m1:
+                np.testing.assert_allclose(m1[k], m2[k], atol=1e-6)
+
+
+def test_distributed_fit_rejects_stateful_models_without_mask(rng, mesh):
+    """A stateful model whose __call__ can't take the validity mask would
+    silently fold padding rows into its batch statistics; fit() must refuse
+    loudly."""
+    from gnn_tpu.models import EncoderGCN
+    from gnn_tpu.train import Config, fit
+
+    class NoMaskEncoder(nn.Module):
+        inner: EncoderGCN
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __call__(self, x, adj, state, *, key=None):
+            return self.inner(x, adj, state, key=key)
+
+    data = stochastic_block_model(num_nodes=64, num_classes=3, seed=5)
+    model = NoMaskEncoder(EncoderGCN(16, 3, key=KEY))
+    cfg = Config()
     cfg.train.epochs = 1
     cfg.dist.num_parts = 8
-    with pytest.raises(ValueError, match="BatchNorm"):
-        fit(cfg, data, verbose=False)
+    with pytest.raises(ValueError, match="mask"):
+        fit(cfg, data, model=model, verbose=False)
 
 
 @pytest.mark.parametrize("model_name", ("gat", "sage", "gin"))
