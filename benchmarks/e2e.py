@@ -45,6 +45,12 @@ def main():
         "degree-bucket sorted ELL + hub-dense block, or the "
         "cluster-packed block-diagonal layout (graphs/blocked.py)",
     )
+    ap.add_argument(
+        "--sol",
+        action="store_true",
+        help="also calibrate the gather-rate speed-of-light and report "
+        "vs_gather_sol (model-specific row-pass accounting, see below)",
+    )
     args = ap.parse_args()
 
     from gnn_tpu import graphs, nn, optim
@@ -116,19 +122,52 @@ def main():
         lambda p, o: step(p, o, adj)[0], params, opt_state, iters=iters
     )
     layers = getattr(model, "num_layers", 2)
-    print(
-        json.dumps(
-            {
-                "bench": f"e2e_epoch[{args.model}]",
-                "graph": args.graph,
-                "layout": args.layout,
-                "epoch_ms": round(dt * 1e3, 2),
-                "edges_per_s": round(adj.num_edges * layers / dt, 1),
-                "num_edges": adj.num_edges,
-                "layers": layers,
-            }
+    out = {
+        "bench": f"e2e_epoch[{args.model}]",
+        "graph": args.graph,
+        "layout": args.layout,
+        "epoch_ms": round(dt * 1e3, 2),
+        "edges_per_s": round(adj.num_edges * layers / dt, 1),
+        "num_edges": adj.num_edges,
+        "layers": layers,
+    }
+    if args.sol:
+        # Gather-rate SOL per model, in F-wide random-row passes over the E
+        # edges per layer (the binding resource on a power-law graph; scalar
+        # per-edge traffic like attention scores is F/1-wide and ignored):
+        #   gcn/sage: fwd SpMM gather (1) + bwd transpose-SpMM gather (1) = 2
+        #   gat:      fwd SpMM gather (1) + bwd transpose gather (1)
+        #             + backward d_alpha SDDMM gathers g[dst], h[src] (2) = 4
+        # The dense XW work rides the MXU concurrently and is not counted.
+        passes = {"gcn": 2, "sage": 2, "gat": 4}[args.model]
+        cal_idx = jnp.asarray(
+            rng.integers(0, N, adj.num_edges).astype(np.int32)
         )
-    )
+
+        @jax.jit
+        def gather_loop(x):
+            def body(i, x):
+                g = jnp.take(x, cal_idx, axis=0)
+                v = x + jnp.sum(g * g, axis=0)[None, :] * 1e-6
+                return v * (1.0 / jnp.max(jnp.abs(v)))
+
+            return jax.lax.fori_loop(0, 10, body, x)
+
+        @jax.jit
+        def nrm_loop(x):
+            def body(i, x):
+                v = x + 1.0
+                return v * (1.0 / jnp.max(jnp.abs(v)))
+
+            return jax.lax.fori_loop(0, 10, body, x)
+
+        dt_g = (time_fn(gather_loop, x, iters=1) - time_fn(nrm_loop, x, iters=1)) / 10
+        ns_per_row = dt_g / adj.num_edges * 1e9
+        sol_s = layers * passes * adj.num_edges * ns_per_row * 1e-9
+        out["gather_ns_per_row"] = round(ns_per_row, 3)
+        out["sol_row_passes_per_layer"] = passes
+        out["vs_gather_sol"] = round(sol_s / dt, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

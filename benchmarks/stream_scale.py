@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--nodes", type=int, default=10_000_000)
     ap.add_argument("--feat", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=1 << 22)  # 4.2M edges
+    ap.add_argument("--grad", action="store_true", help="also stream dx = A^T g")
+    ap.add_argument("--train-steps", type=int, default=0, help="host-feature sampled training steps to time")
+    ap.add_argument("--batch", type=int, default=1024)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -95,6 +98,105 @@ def main():
     )
     # checksum so nothing is DCE'd and reruns can diff
     print(json.dumps({"checksum": float(jnp.sum(out[:1000]))}), flush=True)
+
+    # --- streamed backward: dx = A^T g through the transpose stream --------
+    if args.grad:
+        from gnn_tpu.graphs.streaming import streaming_spmm_grad
+
+        t0 = time.perf_counter()
+        t_stream = stream.transpose()
+        t_prep = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dx = jax.grad(
+            lambda x: jnp.sum(jnp.abs(streaming_spmm_grad(stream, t_stream, x)))
+        )(x)
+        dx.block_until_ready()
+        dt_g = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "transpose_prep_s": round(t_prep, 1),
+                    "stream_fwd_bwd_s": round(dt_g, 2),
+                    "fwd_bwd_edges_per_s": round(2 * E / dt_g / 1e6, 1),
+                    "unit": "M edges/s (2 passes)",
+                    "grad_checksum": float(jnp.sum(dx[:1000])),
+                }
+            ),
+            flush=True,
+        )
+        del t_stream, dx
+
+    # --- host-feature sampled training at the same scale -------------------
+    # (BASELINE.json config #5's TRAINING story: features never device-
+    # resident whole; per-step transfer is the [batch_nodes, F] slab.)
+    if args.train_steps:
+        from gnn_tpu import nn, optim
+        from gnn_tpu.models import GraphSAGE
+        from gnn_tpu.train.host_loader import HostBatchLoader
+
+        B, fanouts = args.batch, [10, 5]
+        y = rng.integers(0, 8, N).astype(np.int32)
+        t0 = time.perf_counter()
+        loader = HostBatchLoader(
+            np.stack([stream.src, stream.dst]),
+            np.asarray(x),  # host copy stands in for the memmap
+            y,
+            fanouts,
+            num_nodes=N,
+        )
+        prep = time.perf_counter() - t0
+        model = GraphSAGE(F, 64, 8, key=jax.random.PRNGKey(0), dropout=0.0)
+        params, static = nn.partition(model)
+        opt = optim.adam(1e-3)
+        ost = opt.init(params)
+        adjs = loader.adjacencies(B)
+
+        @jax.jit
+        def host_step(params, ost, feats, ys):
+            def loss_fn(p):
+                logits = nn.combine(p, static).forward_sampled(feats, adjs)
+                return nn.cross_entropy(logits, ys)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, ost2 = opt.update(grads, ost, params)
+            return optim.apply_updates(params, upd), ost2, loss
+
+        m0 = mem_mb()
+        seeds = rng.integers(0, N, B)
+        feats, ys = loader.batch(seeds)
+        params, ost, loss = host_step(
+            params, ost, jnp.asarray(feats), jnp.asarray(ys)
+        )  # compile
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.train_steps):
+            seeds = rng.integers(0, N, B)
+            feats, ys = loader.batch(seeds)
+            params, ost, loss = host_step(
+                params, ost, jnp.asarray(feats), jnp.asarray(ys)
+            )
+        float(loss)
+        dt_t = (time.perf_counter() - t0) / args.train_steps
+        edges_per_batch = B * fanouts[0] + B * (1 + fanouts[0]) * fanouts[1]
+        print(
+            json.dumps(
+                {
+                    "host_loader_prep_s": round(prep, 1),
+                    "train_step_ms": round(dt_t * 1e3, 1),
+                    "steps_per_s": round(1 / dt_t, 2),
+                    "sampled_edges_per_s": round(
+                        edges_per_batch / dt_t / 1e6, 2
+                    ),
+                    "unit": "M edges/s",
+                    "batch": B,
+                    "fanouts": fanouts,
+                    "loss": round(float(loss), 4),
+                    "hbm_mb_train": mem_mb(),
+                    "hbm_mb_before_train": m0,
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

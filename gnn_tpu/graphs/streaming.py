@@ -161,6 +161,20 @@ class EdgeStream:
             yield src, counts, w, d_lo
 
 
+def _rle_expand(counts: jax.Array, total: int) -> jax.Array:
+    """Expand run-length counts [K] into the sorted id vector [total]
+    (== jnp.repeat(arange(K), counts, total_repeat_length=total)) via
+    scatter-of-boundaries + cumsum. jnp.repeat lowers to a searchsorted
+    (binary search per output element — measured ~0.5 s per 4M-edge chunk
+    with 420k segments); this is two bandwidth-bound passes instead.
+    Boundary indices landing at ``total`` (trailing empty segments) are
+    dropped by JAX scatter semantics; coincident boundaries (empty middle
+    segments) accumulate, correctly skipping their ids."""
+    starts = jnp.cumsum(counts)[:-1]  # exclusive prefix: segment 1.. starts
+    marks = jnp.zeros((total,), jnp.int32).at[starts].add(1)
+    return jnp.cumsum(marks)
+
+
 def _prefetched(device_batches, prefetch: int):
     """Keep ``prefetch`` host->device transfers in flight ahead of the
     consumer. ``jnp.asarray``/``device_put`` dispatch asynchronously, so
@@ -212,11 +226,7 @@ def streaming_spmm(
     def step(out, x, norm, src, counts, w, d_lo):
         # Re-expand the run-length counts into the sorted local dst ids
         # (padding slots land in segment R and are dropped below).
-        dstl = jnp.repeat(
-            jnp.arange(R + 1, dtype=jnp.int32),
-            counts,
-            total_repeat_length=C,
-        )
+        dstl = _rle_expand(counts, C)
         msg = jnp.take(x, src, axis=0)
         if use_norm:
             dst_g = jnp.minimum(d_lo + dstl, N - 1)
@@ -405,11 +415,7 @@ class DistEdgeStream:
                 out, feats, inv, counts, d_lo = (
                     out[0], feats[0], inv[0], counts[0], d_lo[0],
                 )
-                dstl = jnp.repeat(
-                    jnp.arange(R + 1, dtype=jnp.int32),
-                    counts,
-                    total_repeat_length=C,
-                )
+                dstl = _rle_expand(counts, C)
                 msg = jnp.take(feats, inv, axis=0)
                 if weighted:
                     msg = msg * w[0][:, None].astype(msg.dtype)

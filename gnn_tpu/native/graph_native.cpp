@@ -138,6 +138,14 @@ void partition_by_edges(int64_t n_nodes, int64_t n_parts,
 // (ties -> smallest label; weights supported). A community stops absorbing
 // nodes once it reaches `max_size` (cap <= 0 disables), which keeps the
 // discovered communities packable into fixed device windows.
+//
+// Scalability (the blocked layout's prep cost at papers100M scale): after
+// the first full sweep, only ACTIVE nodes are revisited — a node re-votes
+// only if one of its in-neighbors changed label in the previous sweep
+// (tracked through a reverse adjacency built once, O(E + N)). LP converges
+// geometrically, so later sweeps touch a small, shrinking frontier instead
+// of re-sweeping all E edges; measured end-to-end prep numbers per scale
+// are in docs/PERF.md ("Cluster prep cost").
 // out_label [n_nodes]; returns the number of distinct labels.
 int64_t label_propagation(int64_t n_nodes, const int64_t* row_ptr,
                           const int64_t* col, const float* weight,
@@ -152,14 +160,32 @@ int64_t label_propagation(int64_t n_nodes, const int64_t* row_ptr,
   std::vector<double> votes(n_nodes, 0.0);
   std::vector<int64_t> touched;
   std::mt19937_64 rng(rng_seed);
+  // Reverse adjacency (u -> list of v with an in-edge u->v): when u
+  // changes label, exactly those v see a changed vote set. int32 ids are
+  // safe (node ids < 2^31 by the int-width audit) and halve the footprint.
+  int64_t n_edges_tot = row_ptr[n_nodes];
+  std::vector<int32_t> rcol(n_edges_tot);
+  std::vector<int64_t> rptr(n_nodes + 1, 0);
+  for (int64_t e = 0; e < n_edges_tot; ++e) rptr[col[e] + 1]++;
+  for (int64_t u = 0; u < n_nodes; ++u) rptr[u + 1] += rptr[u];
+  {
+    std::vector<int64_t> cursor(rptr.begin(), rptr.end() - 1);
+    for (int64_t v = 0; v < n_nodes; ++v)
+      for (int64_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e)
+        rcol[cursor[col[e]]++] = static_cast<int32_t>(v);
+  }
+  std::vector<uint8_t> in_next(n_nodes, 0);
+  std::vector<int64_t> next;
+  int64_t n_active = n_nodes;  // sweep 0 visits everyone
   for (int64_t it = 0; it < n_iters; ++it) {
-    // Fisher-Yates shuffle of the visit order per sweep.
-    for (int64_t i = n_nodes - 1; i > 0; --i) {
+    // Fisher-Yates shuffle of the active visit order per sweep.
+    for (int64_t i = n_active - 1; i > 0; --i) {
       int64_t j = static_cast<int64_t>(rng() % (i + 1));
       std::swap(order[i], order[j]);
     }
     int64_t moves = 0;
-    for (int64_t oi = 0; oi < n_nodes; ++oi) {
+    next.clear();
+    for (int64_t oi = 0; oi < n_active; ++oi) {
       int64_t v = order[oi];
       int64_t lo = row_ptr[v], hi = row_ptr[v + 1];
       if (lo == hi) continue;
@@ -189,9 +215,21 @@ int64_t label_propagation(int64_t n_nodes, const int64_t* row_ptr,
         size[best]++;
         label[v] = best;
         ++moves;
+        // v's label changed: every node voting over v, and v itself,
+        // must re-vote next sweep.
+        if (!in_next[v]) { in_next[v] = 1; next.push_back(v); }
+        for (int64_t e = rptr[v]; e < rptr[v + 1]; ++e) {
+          int64_t w = rcol[e];
+          if (!in_next[w]) { in_next[w] = 1; next.push_back(w); }
+        }
       }
     }
     if (moves == 0) break;
+    n_active = static_cast<int64_t>(next.size());
+    for (int64_t i = 0; i < n_active; ++i) {
+      order[i] = next[i];
+      in_next[next[i]] = 0;
+    }
   }
   // Compact labels to 0..k-1 (order of first appearance by node id).
   std::vector<int64_t> remap(n_nodes, -1);

@@ -53,6 +53,11 @@ class TrainConfig:
     checkpoint_every: int = 0  # 0 = only final
     log_file: str = ""
     patience: int = 0  # early stopping on val accuracy; 0 = off
+    # Sampled minibatches with HOST-resident features (papers100M regime:
+    # x exceeds HBM). Sampling + feature gather run on the host
+    # (train/host_loader.py, memmap-friendly); only the [batch_nodes, F]
+    # slab transfers per step. Requires batch_size > 0.
+    host_features: bool = False
 
 
 @dataclass

@@ -124,6 +124,14 @@ def fit(
             f"train.batch_size={cfg.train.batch_size} must divide evenly "
             f"over dist.num_parts={cfg.dist.num_parts} chips"
         )
+    if cfg.train.host_features and not cfg.train.batch_size:
+        raise ValueError("train.host_features requires batch_size > 0")
+    if cfg.train.host_features and dp_sampled:
+        raise ValueError(
+            "train.host_features is the single-process host-gather path; "
+            "combine it with data-parallel sampling by running one process "
+            "per host (parallel.multihost) instead of dist.num_parts"
+        )
     if distributed and state is not None:
         # BatchNorm models train distributed via the mask-aware batch
         # statistics: the padded layout's validity mask is passed through
@@ -299,6 +307,40 @@ def fit(
             loss, grads = jax.value_and_grad(loss_fn)(params)
             upd, opt_state = opt.update(grads, opt_state, params)
             return optim.apply_updates(params, upd), opt_state, loss
+    elif sampled and cfg.train.host_features:
+        # Host-resident features (papers100M regime): sampling + feature
+        # gather on the host (memmap-friendly), only the [batch_nodes, F]
+        # slab ships per step. The jitted step is keyed by static shapes,
+        # so one compile serves every batch (train/host_loader.py).
+        from gnn_tpu.train.host_loader import HostBatchLoader
+
+        loader = HostBatchLoader(
+            np.asarray(data.edge_index),
+            np.asarray(data.x),
+            np.asarray(data.y),
+            cfg.train.fanouts,
+            num_nodes=data.num_nodes,
+            seed=cfg.train.seed,
+        )
+        train_ids = np.nonzero(np.asarray(data.train_mask))[0]
+        host_adjs = loader.adjacencies(cfg.train.batch_size)
+
+        @jax.jit
+        def host_step(params, opt_state, key, feats, ys):
+            def loss_fn(p):
+                m = nn.combine(p, static)
+                logits = m.forward_sampled(feats, host_adjs, key=key)
+                return nn.cross_entropy(logits, ys)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = opt.update(grads, opt_state, params)
+            return optim.apply_updates(params, upd), opt_state, loss
+
+        def step(params, opt_state, key, seeds):
+            feats, ys = loader.batch(np.asarray(seeds))
+            return host_step(
+                params, opt_state, key, jnp.asarray(feats), jnp.asarray(ys)
+            )
     elif sampled:
         sampler = NeighborSampler(data, cfg.train.fanouts)
         train_ids = np.nonzero(np.asarray(data.train_mask))[0]

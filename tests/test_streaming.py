@@ -80,3 +80,117 @@ def test_stream_rejects_unsorted_when_assumed(rng):
     ei = np.stack([np.zeros(3, np.int64), np.array([5, 2, 7])])
     with pytest.raises(ValueError, match="not sorted"):
         EdgeStream(ei, num_nodes=8, assume_sorted=True)
+
+
+def test_chunks_rle_roundtrip(rng):
+    """Run-length counts re-expand to exactly the sorted local dst ids
+    (the transfer-halving encoding the device step decodes)."""
+    n, e = 150, 3000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    st = EdgeStream(ei, num_nodes=n, chunk_edges=512)
+    for (s1, dstl, _, d1), (s2, counts, _, d2) in zip(
+        st.chunks(), st.chunks_rle()
+    ):
+        assert d1 == d2 and np.array_equal(s1, s2)
+        assert counts.sum() == st.chunk_edges
+        np.testing.assert_array_equal(
+            np.repeat(np.arange(st.range_rows + 1), counts), dstl
+        )
+
+
+def test_streaming_norm_vector_matches_baked_weights(rng):
+    """The device-side norm recompute (w_e = norm[src]*norm[dst], no weight
+    transfer) equals streaming with the same weights baked per edge."""
+    n, e = 200, 3000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    norm = rng.random(n).astype(np.float32) + 0.5
+    w = norm[ei[0]] * norm[ei[1]]
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    st_w = EdgeStream(ei, w, num_nodes=n, chunk_edges=256)
+    st_n = EdgeStream(ei, num_nodes=n, chunk_edges=256)
+    out_w = np.asarray(streaming_spmm(st_w, jnp.asarray(x)))
+    out_n = np.asarray(
+        streaming_spmm(st_n, jnp.asarray(x), norm=jnp.asarray(norm))
+    )
+    np.testing.assert_allclose(out_n, out_w, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out_n, dense_oracle(ei, w, n, x), rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError, match="not both"):
+        streaming_spmm(st_w, jnp.asarray(x), norm=jnp.asarray(norm))
+
+
+def test_streaming_spmm_grad_matches_dense(rng):
+    """Trainable streamed SpMM: dx streams the transpose structure and
+    matches the dense oracle's gradient (VERDICT r3 item 6: grad-capable
+    streaming)."""
+    from gnn_tpu.graphs.streaming import streaming_spmm_grad
+
+    n, e = 120, 2000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = rng.random(e).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    st = EdgeStream(ei, w, num_nodes=n, chunk_edges=256)
+    ts = st.transpose()
+
+    out = np.asarray(streaming_spmm_grad(st, ts, x))
+    np.testing.assert_allclose(
+        out, dense_oracle(ei, w, n, np.asarray(x)), rtol=1e-4, atol=1e-4
+    )
+    a = np.zeros((n, n), np.float32)
+    np.add.at(a, (ei[1], ei[0]), w)
+    a = jnp.asarray(a)
+    g_stream = jax.grad(
+        lambda x: jnp.sum(jnp.sin(streaming_spmm_grad(st, ts, x)))
+    )(x)
+    g_dense = jax.grad(lambda x: jnp.sum(jnp.sin(a @ x)))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_stream), np.asarray(g_dense), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_dist_edge_stream_matches_dense(rng):
+    """Multi-chip streamed aggregation with host-resident graph AND
+    features == dense oracle (VERDICT r3 item 1a: EdgeStream composed with
+    the node partition, parity on the 8-device mesh)."""
+    from gnn_tpu.graphs.streaming import DistEdgeStream
+    from gnn_tpu.parallel import make_mesh
+
+    mesh = make_mesh(axes=("data",))
+    P = mesh.shape["data"]
+    n, e = 300, 5000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = rng.random(e).astype(np.float32)
+    x_host = rng.normal(size=(n, 16)).astype(np.float32)
+
+    dst = DistEdgeStream(ei, w, num_nodes=n, num_parts=P, chunk_edges=128)
+    assert dst.num_chunks > 2  # genuinely streams per chip
+    out = np.asarray(dst.spmm_host(x_host, mesh))
+    np.testing.assert_allclose(
+        out, dense_oracle(ei, w, n, x_host), rtol=1e-4, atol=1e-4
+    )
+    # unweighted path too
+    dst0 = DistEdgeStream(ei, num_nodes=n, num_parts=P, chunk_edges=128)
+    out0 = np.asarray(dst0.spmm_host(x_host, mesh))
+    np.testing.assert_allclose(
+        out0, dense_oracle(ei, None, n, x_host), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_dist_edge_stream_uneven_parts(rng):
+    """Heavily skewed dst distribution: chips with few (or zero) edges
+    consume all-padding chunks; result still exact."""
+    from gnn_tpu.graphs.streaming import DistEdgeStream
+    from gnn_tpu.parallel import make_mesh
+
+    mesh = make_mesh(axes=("data",))
+    P = mesh.shape["data"]
+    n, e = 240, 4000
+    # all destinations land on the first chip's range
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n // P, e)])
+    x_host = rng.normal(size=(n, 8)).astype(np.float32)
+    dst = DistEdgeStream(ei, num_nodes=n, num_parts=P, chunk_edges=256)
+    out = np.asarray(dst.spmm_host(x_host, mesh))
+    np.testing.assert_allclose(
+        out, dense_oracle(ei, None, n, x_host), rtol=1e-4, atol=1e-4
+    )

@@ -77,6 +77,61 @@ def test_fit_sampled_learns():
     assert history[-1]["test_acc"] > 0.8
 
 
+def test_fit_host_features_learns():
+    """The host-resident-feature sampled path (papers100M regime: x never
+    device-resident whole; train/host_loader.py) trains to the same
+    quality as the device-sampled path."""
+    data = load_dataset("sbm", num_nodes=250, seed=6)
+    cfg = small_cfg(
+        **{
+            "model.name": "sage",
+            "train.epochs": 120,
+            "train.batch_size": 64,
+            "train.fanouts": [4, 4],
+            "train.host_features": True,
+        }
+    )
+    model, state, history = fit(cfg, data, verbose=False)
+    assert history[-1]["test_acc"] > 0.8
+
+
+def test_host_features_requires_batches():
+    from gnn_tpu.train import Config, fit
+
+    data = load_dataset("sbm", num_nodes=64, seed=1)
+    cfg = small_cfg(**{"train.host_features": True})
+    with pytest.raises(ValueError, match="batch_size"):
+        fit(cfg, data, verbose=False)
+
+
+def test_host_batch_loader_semantics():
+    """Host loader: static shapes, device-sampler-equivalent zero-degree
+    behavior, memmap-compatible feature gather."""
+    import numpy as np
+
+    from gnn_tpu.train.host_loader import HostBatchLoader
+
+    n = 40
+    # node 7 has no in-edges (it appears only as src)
+    ei = np.array([[7, 1, 2, 3, 4], [0, 0, 1, 2, 3]])
+    x = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    y = np.arange(n) % 4
+    loader = HostBatchLoader(ei, x, y, [3, 2], num_nodes=n)
+    seeds = np.array([0, 7, 3])
+    feats, ys = loader.batch(seeds)
+    B = len(seeds)
+    expect_nodes = B * (1 + 3) * (1 + 2)
+    assert feats.shape == (expect_nodes, 3)
+    np.testing.assert_array_equal(ys, y[seeds])
+    # zero-degree seed 7 samples itself at hop 1: its fanout block (rows
+    # B+3..B+5 of the first frontier expansion) must all be node 7's row
+    hop1 = feats[B : B + B * 3].reshape(B, 3, 3)
+    np.testing.assert_array_equal(hop1[1], np.broadcast_to(x[7], (3, 3)))
+    # two draws differ (sampling advances the seed) but shapes are static
+    feats2, _ = loader.batch(seeds)
+    assert feats2.shape == feats.shape
+
+
 def test_fit_encoder_gcn_with_state():
     """The reference flagship recipe trains through the Config path too."""
     data = load_dataset("sbm", num_nodes=150, seed=7)
