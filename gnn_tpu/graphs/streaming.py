@@ -47,7 +47,6 @@ int32 on device is safe and is asserted at build time.
 
 from __future__ import annotations
 
-import collections
 import math
 from typing import Iterator, Optional, Tuple
 
@@ -60,7 +59,31 @@ __all__ = [
     "streaming_spmm",
     "streaming_spmm_grad",
     "DistEdgeStream",
+    "device_put_slabbed",
 ]
+
+
+def device_put_slabbed(arr, *, slab_bytes: int = 128 << 20) -> jax.Array:
+    """Upload a large host array in row-major slabs, forcing each.
+
+    The proxied device transport's throughput collapses for very large
+    single transfers (measured on this tunnel: 256 MB at ~29 MB/s but
+    1.28 GB at ~5 MB/s, and unforced queues degrade further) — slab-wise
+    forced puts keep the full ~29 MB/s. Slabs are concatenated on device
+    (briefly 2x memory). On directly-attached hardware this is equivalent
+    to one device_put."""
+    arr = np.asarray(arr)
+    if arr.nbytes <= slab_bytes or arr.ndim == 0:
+        d = jax.device_put(arr)
+        np.asarray(d.ravel()[0] if arr.size else d)
+        return d
+    rows_per = max(1, int(slab_bytes // max(arr[:1].nbytes, 1)))
+    slabs = []
+    for lo in range(0, arr.shape[0], rows_per):
+        d = jax.device_put(arr[lo : lo + rows_per])
+        np.asarray(d.ravel()[0])  # force: unforced queues degrade
+        slabs.append(d)
+    return jnp.concatenate(slabs, axis=0)
 
 _INT32_MAX = np.iinfo(np.int32).max
 
@@ -154,11 +177,23 @@ class EdgeStream:
         run-length encoded: yields (src, counts [range_rows+1] i32, weight,
         d_lo). counts[r] = edges of local row r in this chunk; slot
         range_rows counts the padding. The device re-expands with
-        ``jnp.repeat(..., total_repeat_length=chunk_edges)``."""
+        :func:`_rle_expand`."""
         R = self.range_rows
         for src, dstl, w, d_lo in self.chunks():
             counts = np.bincount(dstl, minlength=R + 1).astype(np.int32)
             yield src, counts, w, d_lo
+
+    def chunks_packed(self) -> Iterator[Tuple[np.ndarray, int]]:
+        """One contiguous int32 buffer per chunk:
+        [src (C) | counts (R+1) | weight bitcast (C, only if weighted)].
+        A single host->device transfer per chunk — the proxied transport
+        pays a large fixed latency per transfer, so fewer, larger puts win
+        (see streaming_spmm's schedule)."""
+        for src, counts, w, d_lo in self.chunks_rle():
+            parts = [src, counts]
+            if w is not None:
+                parts.append(w.view(np.int32))
+            yield np.concatenate(parts), d_lo
 
 
 def _rle_expand(counts: jax.Array, total: int) -> jax.Array:
@@ -175,18 +210,30 @@ def _rle_expand(counts: jax.Array, total: int) -> jax.Array:
     return jnp.cumsum(marks)
 
 
-def _prefetched(device_batches, prefetch: int):
-    """Keep ``prefetch`` host->device transfers in flight ahead of the
-    consumer. ``jnp.asarray``/``device_put`` dispatch asynchronously, so
-    issuing the next chunk's transfer before the current chunk's compute
-    overlaps upload with execution (the stream is transfer-bound)."""
-    q = collections.deque()
-    for batch in device_batches:
-        q.append(batch)
-        if len(q) > prefetch:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+def _overlapped(host_batches, put, force):
+    """The measured-fastest schedule on the proxied device transport:
+    issue the NEXT chunk's device_put, then FORCE the current chunk's
+    transfer (cheap scalar readback) before dispatching its compute.
+
+    Why forcing helps (counter-intuitive, measured): left unforced, the
+    relay's async queue serializes the chained puts/executions with a
+    multi-second penalty per chunk (~0.3 M edges/s); the forced schedule
+    with one upload in flight runs at the wire bandwidth (~20-25 MB/s on
+    this tunnel, 15x faster end-to-end). On directly-attached hardware the
+    force is a no-op-cost sync and the one-ahead put still overlaps upload
+    with compute."""
+    batches = iter(host_batches)
+    try:
+        cur = put(next(batches))
+    except StopIteration:
+        return
+    for nxt in batches:
+        nxt_dev = put(nxt)
+        force(cur)
+        yield cur
+        cur = nxt_dev
+    force(cur)
+    yield cur
 
 
 def streaming_spmm(
@@ -195,19 +242,22 @@ def streaming_spmm(
     *,
     out_dtype=None,
     norm: Optional[jax.Array] = None,
-    prefetch: int = 2,
 ) -> jax.Array:
     """out = A @ x with A streamed from the host chunk by chunk.
 
-    Device memory: x + out + ``prefetch`` [chunk_edges] index/weight sets +
-    the [chunk_edges, F] gather buffer — independent of total edge count.
+    Device memory: x + out + two in-flight [chunk] packed buffers + the
+    [chunk_edges, F] gather buffer — independent of total edge count.
+    Each chunk ships as ONE packed int32 transfer (src | RLE counts |
+    bitcast weights) on the :func:`_overlapped` schedule — the transport's
+    per-transfer latency dominates, so one put per chunk with the next
+    upload in flight is the measured optimum.
 
     ``norm``: optional device-resident [num_nodes] f32 vector of per-node
     factors; per-edge weight w_e = norm[src_e] * norm[dst_e] is recomputed
     ON DEVICE (e.g. the d^-1/2 factors of gcn_norm), eliminating the
-    [chunk_edges] f32 weight transfer — the stream is host-bandwidth-bound,
-    so fewer bytes is directly more edges/s. Mutually exclusive with
-    baked per-edge weights.
+    [chunk_edges] f32 weight section of the packed transfer — the stream is
+    host-bandwidth-bound, so fewer bytes is directly more edges/s.
+    Mutually exclusive with baked per-edge weights.
 
     Differentiation: this function is a host-side loop (not jittable);
     for a grad-capable streamed SpMM use :func:`streaming_spmm_grad`.
@@ -223,7 +273,9 @@ def streaming_spmm(
     use_norm = norm is not None
 
     @jax.jit
-    def step(out, x, norm, src, counts, w, d_lo):
+    def step(out, x, norm, packed, d_lo):
+        src = packed[:C]
+        counts = packed[C : C + R + 1]
         # Re-expand the run-length counts into the sorted local dst ids
         # (padding slots land in segment R and are dropped below).
         dstl = _rle_expand(counts, C)
@@ -232,7 +284,10 @@ def streaming_spmm(
             dst_g = jnp.minimum(d_lo + dstl, N - 1)
             we = jnp.take(norm, src) * jnp.take(norm, dst_g)
             msg = msg * we[:, None].astype(msg.dtype)
-        elif w is not None:
+        elif weighted:
+            w = jax.lax.bitcast_convert_type(
+                packed[C + R + 1 :], jnp.float32
+            )
             msg = msg * w[:, None].astype(msg.dtype)
         part = jax.ops.segment_sum(
             msg, dstl, R + 1, indices_are_sorted=True
@@ -243,18 +298,12 @@ def streaming_spmm(
     # Rows within R of the end would make the dynamic slice clamp and
     # misalign the range; guard by padding out once, slicing back after.
     out = jnp.zeros((N + R, F), out_dtype)
-
-    def to_device():
-        for src, counts, w, d_lo in stream.chunks_rle():
-            yield (
-                jnp.asarray(src),
-                jnp.asarray(counts),
-                jnp.asarray(w) if weighted else None,
-                d_lo,
-            )
-
-    for src, counts, w, d_lo in _prefetched(to_device(), prefetch):
-        out = step(out, x, norm, src, counts, w, d_lo)
+    for packed, d_lo in _overlapped(
+        stream.chunks_packed(),
+        put=lambda b: (jax.device_put(b[0]), b[1]),
+        force=lambda d: np.asarray(d[0][0]),
+    ):
+        out = step(out, x, norm, packed, d_lo)
     return out[:N]
 
 
@@ -264,7 +313,6 @@ def streaming_spmm_grad(
     x: jax.Array,
     *,
     norm: Optional[jax.Array] = None,
-    prefetch: int = 2,
 ) -> jax.Array:
     """Differentiable streamed SpMM: forward streams ``stream``, the VJP
     streams ``t_stream`` (= ``stream.transpose()``) for dx = A^T g — the
@@ -278,13 +326,13 @@ def streaming_spmm_grad(
 
     @jax.custom_vjp
     def f(x):
-        return streaming_spmm(stream, x, norm=norm, prefetch=prefetch)
+        return streaming_spmm(stream, x, norm=norm)
 
     def fwd(x):
         return f(x), None
 
     def bwd(_, g):
-        return (streaming_spmm(t_stream, g, norm=norm, prefetch=prefetch),)
+        return (streaming_spmm(t_stream, g, norm=norm),)
 
     f.defvjp(fwd, bwd)
     return f(x)
@@ -388,7 +436,6 @@ class DistEdgeStream:
         *,
         axis_name: str = "data",
         out_dtype=None,
-        prefetch: int = 2,
     ) -> jax.Array:
         """out = A @ x over the mesh with A *and* x host-resident.
 
@@ -397,6 +444,12 @@ class DistEdgeStream:
         Returns the [num_nodes, F] result (sharded [P*n_max, F] internally,
         padding rows cropped). Forward aggregation; at this scale training
         runs the host-feature sampled-minibatch path (train/host_loader.py).
+
+        All per-chip sections of a chunk — inv, counts, d_lo, weights,
+        unique features (f32 sections bitcast to i32) — pack into ONE
+        [P, L] transfer per chunk, shipped on the :func:`_overlapped`
+        schedule (see streaming_spmm: the transport's per-transfer latency
+        dominates).
         """
         from jax.sharding import NamedSharding, PartitionSpec as PS
 
@@ -405,39 +458,48 @@ class DistEdgeStream:
         n_max, N = self.n_max, self.num_nodes
         out_dtype = out_dtype or x_host.dtype
         weighted = self.has_weight
+        # Packed section offsets: [inv C | counts R+1 | d_lo 1 | w C? | feats U*F]
+        o_cnt = C
+        o_dlo = o_cnt + R + 1
+        o_w = o_dlo + 1
+        o_feat = o_w + (C if weighted else 0)
+        L = o_feat + U * F
 
         sharded = NamedSharding(mesh, PS(axis_name))
         sharded2 = NamedSharding(mesh, PS(axis_name, None))
 
         @jax.jit
-        def step(out_sh, feats, inv, counts, w, d_lo):
-            def local(out, feats, inv, counts, w, d_lo):
-                out, feats, inv, counts, d_lo = (
-                    out[0], feats[0], inv[0], counts[0], d_lo[0],
-                )
+        def step(out_sh, packed):
+            def local(out, packed):
+                out, packed = out[0], packed[0]
+                inv = packed[:o_cnt]
+                counts = packed[o_cnt:o_dlo]
+                d_lo = packed[o_dlo]
+                feats = jax.lax.bitcast_convert_type(
+                    packed[o_feat:], jnp.float32
+                ).reshape(U, F)
                 dstl = _rle_expand(counts, C)
                 msg = jnp.take(feats, inv, axis=0)
                 if weighted:
-                    msg = msg * w[0][:, None].astype(msg.dtype)
+                    w = jax.lax.bitcast_convert_type(
+                        packed[o_w : o_w + C], jnp.float32
+                    )
+                    msg = msg * w[:, None].astype(msg.dtype)
                 part = jax.ops.segment_sum(
                     msg, dstl, R + 1, indices_are_sorted=True
                 )[:R].astype(out.dtype)
-                cur = jax.lax.dynamic_slice(out, (d_lo[0], 0), (R, F))
-                return jax.lax.dynamic_update_slice(out, cur + part, (d_lo[0], 0))[
-                    None
-                ]
-
-            from jax.sharding import PartitionSpec as PSpec
+                cur = jax.lax.dynamic_slice(out, (d_lo, 0), (R, F))
+                return jax.lax.dynamic_update_slice(
+                    out, cur + part, (d_lo, 0)
+                )[None]
 
             return jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(PSpec(axis_name, None),) * 2
-                + (PSpec(axis_name),) * 3
-                + (PSpec(axis_name),),
-                out_specs=PSpec(axis_name, None),
+                in_specs=(PS(axis_name, None), PS(axis_name)),
+                out_specs=PS(axis_name, None),
                 axis_names={axis_name},
-            )(out_sh, feats, inv, counts, w, d_lo)
+            )(out_sh, packed)
 
         # Per-chip [n_max + R] slab (dynamic-slice clamp guard), stacked.
         out_sh = jax.device_put(
@@ -446,37 +508,36 @@ class DistEdgeStream:
 
         def host_batches():
             for c in range(self.num_chunks):
-                feats = np.zeros((P_, U, F), x_host.dtype)
-                inv = np.zeros((P_, C), np.int32)
-                counts = np.zeros((P_, R + 1), np.int32)
-                counts[:, R] = C  # default: all-padding chunk
-                wts = np.zeros((P_, C), np.float32)
-                d_lo = np.zeros((P_, 1), np.int32)
+                packed = np.zeros((P_, L), np.int32)
                 for p, s in enumerate(self.streams):
+                    row = packed[p]
                     if c >= s.num_chunks:
+                        row[o_cnt + R] = C  # all-padding chunk
                         continue
                     lo, hi = c * C, min((c + 1) * C, s.num_edges)
                     n = hi - lo
                     u = self._uniq[p][c]
-                    feats[p, : len(u)] = x_host[u]
-                    inv[p] = self._inv[p][c]
+                    row[:o_cnt] = self._inv[p][c]
                     cnt = np.bincount(
                         s.dst[lo:hi] - (int(s.dst[lo]) if n else 0),
                         minlength=R + 1,
                     ).astype(np.int32)
                     cnt[R] += C - n
-                    counts[p] = cnt
+                    row[o_cnt:o_dlo] = cnt
+                    row[o_dlo] = int(s.dst[lo]) if n else 0
                     if weighted and n:
-                        wts[p, :n] = s.weight[lo:hi]
-                    d_lo[p, 0] = int(s.dst[lo]) if n else 0
-                yield (
-                    jax.device_put(feats, sharded2),
-                    jax.device_put(inv, sharded),
-                    jax.device_put(counts, sharded),
-                    jax.device_put(wts, sharded),
-                    jax.device_put(d_lo, sharded),
-                )
+                        w = np.zeros(C, np.float32)
+                        w[:n] = s.weight[lo:hi]
+                        row[o_w : o_w + C] = w.view(np.int32)
+                    feats = np.zeros((U, F), np.float32)
+                    feats[: len(u)] = x_host[u]
+                    row[o_feat:] = feats.reshape(-1).view(np.int32)
+                yield packed
 
-        for feats, inv, counts, w, d_lo in _prefetched(host_batches(), prefetch):
-            out_sh = step(out_sh, feats, inv, counts, w, d_lo)
+        for packed in _overlapped(
+            host_batches(),
+            put=lambda b: jax.device_put(b, sharded),
+            force=lambda d: np.asarray(d[0, 0]),
+        ):
+            out_sh = step(out_sh, packed)
         return out_sh[:, :n_max].reshape(P_ * n_max, F)[:N]

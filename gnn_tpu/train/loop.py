@@ -339,7 +339,9 @@ def fit(
         def step(params, opt_state, key, seeds):
             feats, ys = loader.batch(np.asarray(seeds))
             return host_step(
-                params, opt_state, key, jnp.asarray(feats), jnp.asarray(ys)
+                # device_put: the proxied transport ships asarray ~1000x
+                # slower for large host slabs (graphs/streaming.py)
+                params, opt_state, key, jax.device_put(feats), jax.device_put(ys)
             )
     elif sampled:
         sampler = NeighborSampler(data, cfg.train.fanouts)
