@@ -98,18 +98,22 @@ class SAGEConv(MessagePassing):
         from gnn_tpu.parallel.halo import edge_reduce_by_dst, gather_src_dist
 
         if self.aggr in ("mean", "sum"):
-            if dist.has_weight:
-                raise ValueError(
-                    "SAGE mean/sum needs an unweighted DistGraph (the "
-                    "partition's baked edge weights would be folded into "
-                    "the aggregation); build partition_graph without "
-                    "edge_weight"
-                )
+            # Matches the single-chip semantics above exactly: baked edge
+            # weights (if the partition carries any, e.g. fit()'s sym-norm)
+            # scale the messages, and 'mean' divides by the EDGE COUNT
+            # (segment_mean's denominator), which is dist.in_degree.
             agg = spmm(dist, x_sh)
             if self.aggr == "mean":
                 deg = dist.in_degree.reshape(-1)  # [P*n_max]
                 agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(agg.dtype)
         elif self.aggr == "max":
+            if dist.has_weight:
+                raise ValueError(
+                    "SAGE aggr='max' on a weight-baked DistGraph: the "
+                    "single-chip path maxes WEIGHTED messages, but baked "
+                    "weights are not exposed in the edge-parallel order — "
+                    "partition_graph without edge_weight for max aggregation"
+                )
             msgs = gather_src_dist(dist, x_sh)
             agg = edge_reduce_by_dst(dist, msgs, op="max")
             deg = dist.in_degree.reshape(-1)

@@ -523,15 +523,19 @@ def test_overlap_local_matvec_independent_of_collective(rng, mesh):
     )
 
 
-def test_distributed_fit_matches_single_chip(rng, mesh):
-    """The real training loop, multi-chip: loss/accuracy step-for-step
-    equal to the single-chip run (VERDICT r1 item 4)."""
+@pytest.mark.parametrize("model_name", ("gcn", "sage", "gat", "gin"))
+def test_distributed_fit_matches_single_chip(rng, mesh, model_name):
+    """The real training loop, multi-chip, for the WHOLE stateless model
+    family: loss/accuracy step-for-step equal to the single-chip run
+    (VERDICT r1 item 4; r3 item 2 extended this to every MessagePassing
+    family — EncoderGCN's stateful variant has its own test below)."""
     from gnn_tpu.train import Config, fit
 
     data = stochastic_block_model(num_nodes=120, num_classes=3, seed=31)
     cfg = Config()
-    cfg.model.name = "gcn"
+    cfg.model.name = model_name
     cfg.model.hidden = 8
+    cfg.model.heads = 2
     cfg.model.dropout = 0.0
     cfg.optim.lr = 0.01
     cfg.train.epochs = 6
