@@ -197,7 +197,13 @@ def main():
             dx = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj_op, x) ** 2))(x)
             return _normalize(dx)
 
-        dt_b = _time(_chain_op(step_b, iters), x_b, iters, operand=adj_b) - dt_nrm
+        # reps=6: the blocked step shows more run-to-run spread than the
+        # gather-bound primary (MXU/dispatch sensitivity); min-of-6 keeps
+        # the recorded number near the quiet-machine value.
+        dt_b = (
+            _time(_chain_op(step_b, iters), x_b, iters, operand=adj_b, reps=6)
+            - dt_nrm
+        )
         blocked = {"dt": dt_b, "edges": e_blocked}
     except Exception as exc:  # never let the secondary sink the primary
         print(f"bench: blocked workload failed: {exc!r}", file=sys.stderr)

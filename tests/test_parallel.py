@@ -457,15 +457,24 @@ def test_sage_dist_matches_single_chip(rng, mesh, aggr):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4)
 
 
-def test_sage_dist_mean_rejects_weighted_partition(rng, mesh):
+def test_sage_dist_weighted_partition_matches_single_chip(rng, mesh):
+    """SAGE mean on a weight-baked partition folds the weights exactly like
+    the single-chip path (weighted message sum / edge count) — the r4
+    semantics that let fit()'s sym-norm partition serve SAGE unchanged.
+    Weighted max still rejects (weights aren't exposed edge-parallel)."""
     from gnn_tpu.mp import SAGEConv
 
     ei, w, x, n = make_graph(rng)
     dist = partition_graph(ei, w, num_nodes=n, mesh=mesh)
+    adj = graphs.build_adjacency(ei, jnp.asarray(w), num_nodes=n, layout="csr")
     conv = SAGEConv(16, 8, key=KEY, aggr="mean")
     x_sh = shard_node_array(dist, x, mesh)
-    with pytest.raises(ValueError, match="unweighted DistGraph"):
-        conv(x_sh, dist)
+    out = np.asarray(dist.unshard_nodes(conv(x_sh, dist)))
+    single = np.asarray(conv(jnp.asarray(x), adj))
+    np.testing.assert_allclose(out, single, rtol=1e-4, atol=1e-5)
+    conv_max = SAGEConv(16, 8, key=KEY, aggr="max")
+    with pytest.raises(ValueError, match="max"):
+        conv_max(x_sh, dist)
 
 
 def _collect_eqns(jaxpr, out):
