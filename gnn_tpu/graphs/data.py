@@ -53,10 +53,19 @@ class Data(Module):
         train_mask=None,
         val_mask=None,
         test_mask=None,
+        host_arrays: bool = False,
     ):
+        """``host_arrays=True`` keeps every array as host numpy (no device
+        transfer) — the papers100M regime where x (and the edge list) exceed
+        HBM; pair with ``train.host_features`` / graphs.streaming, which
+        sample and gather on the host. All shape/invariant checks still
+        run."""
         if edge_index is None:
             edge_index = jnp.zeros((2, 0), jnp.int32)
-        edge_index = jnp.asarray(edge_index)
+        if host_arrays:
+            edge_index = np.asarray(edge_index)
+        else:
+            edge_index = jnp.asarray(edge_index)
         check_edge_index(edge_index)
         if num_nodes is None:
             if x is not None:
@@ -91,13 +100,24 @@ class Data(Module):
         ):
             if m is not None and m.shape[0] != num_nodes:
                 raise ValueError(f"{name} has {m.shape[0]} entries for {num_nodes} nodes")
-        self.x = None if x is None else jnp.asarray(x)
-        self.edge_index = edge_index.astype(jnp.int32)
-        self.edge_attr = None if edge_attr is None else jnp.asarray(edge_attr)
-        self.y = None if y is None else jnp.asarray(y)
-        self.train_mask = None if train_mask is None else jnp.asarray(train_mask, bool)
-        self.val_mask = None if val_mask is None else jnp.asarray(val_mask, bool)
-        self.test_mask = None if test_mask is None else jnp.asarray(test_mask, bool)
+        if host_arrays:
+            # numpy views, zero device bytes; int32 ids are still asserted
+            # (the streaming path's int-width audit rejects larger N).
+            self.x = None if x is None else np.asarray(x)
+            self.edge_index = np.asarray(edge_index, np.int32)
+            self.edge_attr = None if edge_attr is None else np.asarray(edge_attr)
+            self.y = None if y is None else np.asarray(y)
+            self.train_mask = None if train_mask is None else np.asarray(train_mask, bool)
+            self.val_mask = None if val_mask is None else np.asarray(val_mask, bool)
+            self.test_mask = None if test_mask is None else np.asarray(test_mask, bool)
+        else:
+            self.x = None if x is None else jnp.asarray(x)
+            self.edge_index = edge_index.astype(jnp.int32)
+            self.edge_attr = None if edge_attr is None else jnp.asarray(edge_attr)
+            self.y = None if y is None else jnp.asarray(y)
+            self.train_mask = None if train_mask is None else jnp.asarray(train_mask, bool)
+            self.val_mask = None if val_mask is None else jnp.asarray(val_mask, bool)
+            self.test_mask = None if test_mask is None else jnp.asarray(test_mask, bool)
         self.num_nodes = num_nodes
 
     @property

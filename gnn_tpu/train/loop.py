@@ -215,6 +215,14 @@ def fit(
             if state is not None
             else None
         )
+    elif cfg.train.host_features:
+        # papers100M regime: NOTHING graph/feature-sized moves to the
+        # device — training samples and gathers on the host, and eval is
+        # neighbor-sampled through the same loader (below). Works with
+        # Data(host_arrays=True) holding memmaps.
+        bn_mask = None
+        graph = x_in = y_in = None
+        masks = {s: getattr(data, f"{s}_mask") for s in ("train", "val", "test")}
     else:
         bn_mask = None
         # Single-chip full graph: optionally relabel nodes for the
@@ -343,6 +351,40 @@ def fit(
                 # slower for large host slabs (graphs/streaming.py)
                 params, opt_state, key, jax.device_put(feats), jax.device_put(ys)
             )
+
+        # Neighbor-sampled evaluation (the standard large-graph inference
+        # approximation): accuracy per split from loader minibatches — no
+        # device-resident x or adjacency at any point.
+        eval_bs = cfg.train.batch_size
+
+        @jax.jit
+        def host_infer(params, feats):
+            m = nn.inference_mode(nn.combine(params, static))
+            return m.forward_sampled(feats, host_adjs)
+
+        def host_evaluate(params) -> dict:
+            out = {}
+            for split in ("train", "val", "test"):
+                mask = masks.get(split)
+                if mask is None:
+                    continue
+                ids = np.nonzero(np.asarray(mask))[0]
+                if not len(ids):
+                    continue
+                correct = 0
+                for lo in range(0, len(ids), eval_bs):
+                    chunk = ids[lo : lo + eval_bs]
+                    n = len(chunk)
+                    padded = np.concatenate(
+                        [chunk, np.zeros(eval_bs - n, np.int64)]
+                    )
+                    feats, ys = loader.batch(padded)
+                    logits = np.asarray(
+                        host_infer(params, jax.device_put(feats))
+                    )
+                    correct += int((logits[:n].argmax(-1) == ys[:n]).sum())
+                out[f"{split}_acc"] = correct / len(ids)
+            return out
     elif sampled:
         sampler = NeighborSampler(data, cfg.train.fanouts)
         train_ids = np.nonzero(np.asarray(data.train_mask))[0]
@@ -397,7 +439,10 @@ def fit(
 
         if (epoch + 1) % cfg.train.eval_every == 0 or epoch == cfg.train.epochs - 1:
             model_now = nn.combine(params, static)
-            metrics = _evaluate_arrays(model_now, state, x_in, graph, y_in, masks)
+            if cfg.train.host_features:
+                metrics = host_evaluate(params)
+            else:
+                metrics = _evaluate_arrays(model_now, state, x_in, graph, y_in, masks)
             metrics["loss"] = float(loss)
             metrics["edges_per_s"] = thr.edges_per_s
             logger.log(epoch + 1, **metrics)

@@ -80,8 +80,24 @@ def test_fit_sampled_learns():
 def test_fit_host_features_learns():
     """The host-resident-feature sampled path (papers100M regime: x never
     device-resident whole; train/host_loader.py) trains to the same
-    quality as the device-sampled path."""
-    data = load_dataset("sbm", num_nodes=250, seed=6)
+    quality as the device-sampled path — with the Data arrays THEMSELVES
+    host-resident (host_arrays=True: numpy/memmap, zero device bytes) and
+    evaluation neighbor-sampled through the same loader."""
+    import numpy as np
+
+    from gnn_tpu.graphs.data import Data
+
+    dev = load_dataset("sbm", num_nodes=250, seed=6)
+    data = Data(
+        np.asarray(dev.x),
+        np.asarray(dev.edge_index),
+        y=np.asarray(dev.y),
+        train_mask=np.asarray(dev.train_mask),
+        val_mask=np.asarray(dev.val_mask),
+        test_mask=np.asarray(dev.test_mask),
+        host_arrays=True,
+    )
+    assert isinstance(data.x, np.ndarray) and not hasattr(data.x, "devices")
     cfg = small_cfg(
         **{
             "model.name": "sage",
