@@ -184,29 +184,44 @@ def main():
         dx = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj, x) ** 2))(x)
         return _normalize(dx)
 
+    t_start = time.perf_counter()
     cal_samples = [calibrate()]
     dt = _time(_chain(step, iters), x, iters) - dt_nrm
     cal_samples.append(calibrate())
 
     # --- secondary: the clustered/blocked workload --------------------------
+    # Time guard: the secondary (graph gen + cluster prep + compile) adds
+    # several minutes; if this run is already slow (cold caches, tunnel
+    # weather), skip it rather than risk an external timeout killing the
+    # run before the PRIMARY metric prints. Override: GNN_TPU_BENCH_BUDGET
+    # (seconds from the first calibration; <=0 disables the secondary).
     blocked = {}
-    try:
-        adj_b, x_b, e_blocked = build_blocked_workload()
-
-        def step_b(x, adj_op):
-            dx = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj_op, x) ** 2))(x)
-            return _normalize(dx)
-
-        # reps=6: the blocked step shows more run-to-run spread than the
-        # gather-bound primary (MXU/dispatch sensitivity); min-of-6 keeps
-        # the recorded number near the quiet-machine value.
-        dt_b = (
-            _time(_chain_op(step_b, iters), x_b, iters, operand=adj_b, reps=6)
-            - dt_nrm
+    budget = float(os.environ.get("GNN_TPU_BENCH_BUDGET", 420))
+    elapsed = time.perf_counter() - t_start
+    if budget <= 0 or elapsed > budget:
+        print(
+            f"bench: skipping blocked secondary ({elapsed:.0f}s elapsed vs "
+            f"budget {budget:.0f}s)",
+            file=sys.stderr,
         )
-        blocked = {"dt": dt_b, "edges": e_blocked}
-    except Exception as exc:  # never let the secondary sink the primary
-        print(f"bench: blocked workload failed: {exc!r}", file=sys.stderr)
+    else:
+        try:
+            adj_b, x_b, e_blocked = build_blocked_workload()
+
+            def step_b(x, adj_op):
+                dx = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj_op, x) ** 2))(x)
+                return _normalize(dx)
+
+            # reps=6: the blocked step shows more run-to-run spread than
+            # the gather-bound primary (MXU/dispatch sensitivity);
+            # min-of-6 keeps the recorded number near the session's best.
+            dt_b = (
+                _time(_chain_op(step_b, iters), x_b, iters, operand=adj_b, reps=6)
+                - dt_nrm
+            )
+            blocked = {"dt": dt_b, "edges": e_blocked}
+        except Exception as exc:  # never let the secondary sink the primary
+            print(f"bench: blocked workload failed: {exc!r}", file=sys.stderr)
     cal_samples.append(calibrate())
 
     ns_per_row = float(np.median(cal_samples))
