@@ -68,3 +68,24 @@ class GAT(Module):
             if i < n - 1:
                 x = elu(x)
         return x
+
+    def forward_sampled(
+        self,
+        x: jax.Array,
+        adjs,
+        *,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Minibatch forward over per-hop bipartite adjacencies (outermost
+        first), as produced by neighbor sampling — same protocol as
+        GraphSAGE.forward_sampled. After hop i only the first
+        ``adjs[i].num_dst_nodes`` rows remain valid."""
+        n = len(self.convs)
+        if len(adjs) != n:
+            raise ValueError(f"need {n} hop adjacencies, got {len(adjs)}")
+        keys = jax.random.split(key, n) if key is not None else [None] * n
+        for i, (conv, adj) in enumerate(zip(self.convs, adjs)):
+            x = conv(x, adj, key=keys[i])
+            if i < n - 1:
+                x = elu(x)
+        return x

@@ -61,3 +61,20 @@ class GIN(Module):
         if graph_id is not None:
             x = segment_sum(x, graph_id, num_graphs)
         return self.head(x)
+
+    def forward_sampled(
+        self,
+        x: jax.Array,
+        adjs,
+        *,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Minibatch forward over per-hop bipartite adjacencies (outermost
+        first) — same protocol as GraphSAGE.forward_sampled."""
+        n = len(self.convs)
+        if len(adjs) != n:
+            raise ValueError(f"need {n} hop adjacencies, got {len(adjs)}")
+        keys = jax.random.split(key, n) if key is not None else [None] * n
+        for conv, adj, k in zip(self.convs, adjs, keys):
+            x = conv(x, adj, x[: adj.num_dst_nodes], key=k)
+        return self.head(x)

@@ -135,6 +135,7 @@ class GATConv(MessagePassing):
                 )
             return self._forward_dist(x, adj, key=key)
         N, H, F = x.shape[0], self.heads, self.out_features
+        N_out = adj.num_dst_nodes  # < N for bipartite (sampled) hops
         E = adj.num_edges
         h = self.lin(x).reshape(N, H, F)  # [N, H, F]
         # Gather once per endpoint with scatter-free VJPs (ops/gather.py);
@@ -143,8 +144,10 @@ class GATConv(MessagePassing):
         # XLA scatter.
         h_src = gather_src_edges(h.reshape(N, H * F), adj).reshape(E, H, F)
         alpha_dst = jnp.einsum("nhf,hf->nh", h, self.att_dst)  # [N, H]
-        # SDDMM: e[e,h] = act(a_dst.x_i + a_src.x_j)
-        e = gather_dst_edges(alpha_dst, adj) + jnp.einsum(
+        # SDDMM: e[e,h] = act(a_dst.x_i + a_src.x_j). Destination scores are
+        # sliced to the dst rows first (bipartite sampled hops: the dst set
+        # is the frontier prefix; no-op on full graphs).
+        e = gather_dst_edges(alpha_dst[:N_out], adj) + jnp.einsum(
             "ehf,hf->eh", h_src, self.att_src
         )
         e = leaky_relu(e, self.negative_slope)
@@ -181,7 +184,7 @@ class GATConv(MessagePassing):
             msgs = h_src * alpha[:, :, None]  # [E, H, F]
             out = segment_sum_edges(msgs, adj)  # [N, H, F]
         if self.concat:
-            out = out.reshape(N, H * F)
+            out = out.reshape(N_out, H * F)
         else:
             out = jnp.mean(out, axis=1)
         if self.bias is not None:

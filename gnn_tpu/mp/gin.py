@@ -39,7 +39,18 @@ class GINConv(MessagePassing):
         self.eps = jnp.asarray(eps, jnp.float32)
         self.train_eps = train_eps
 
-    def __call__(self, x: jax.Array, adj: Adjacency, *, key=None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        adj: Adjacency,
+        x_dst=None,
+        *,
+        key=None,
+    ) -> jax.Array:
+        """``x``: source-node features. For bipartite/sampled hops pass
+        ``x_dst`` [N_dst, F] (defaults to x for full-graph use)."""
+        if x_dst is None:
+            x_dst = x
         eps = self.eps if self.train_eps else jax.lax.stop_gradient(self.eps)
         agg = spmm(adj.with_weight(None), x)
-        return self.mlp((1.0 + eps).astype(x.dtype) * x + agg, key=key)
+        return self.mlp((1.0 + eps).astype(x.dtype) * x_dst + agg, key=key)

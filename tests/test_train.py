@@ -77,6 +77,24 @@ def test_fit_sampled_learns():
     assert history[-1]["test_acc"] > 0.8
 
 
+@pytest.mark.parametrize("model_name", ("gat", "gin"))
+def test_fit_sampled_gat_gin_learn(model_name):
+    """Minibatch neighbor sampling is not SAGE-only: GAT and GIN implement
+    the same forward_sampled protocol over bipartite hop adjacencies."""
+    data = load_dataset("sbm", num_nodes=250, seed=6)
+    cfg = small_cfg(
+        **{
+            "model.name": model_name,
+            "model.heads": 2,
+            "train.epochs": 120,
+            "train.batch_size": 64,
+            "train.fanouts": [4, 4],
+        }
+    )
+    model, state, history = fit(cfg, data, verbose=False)
+    assert history[-1]["test_acc"] > 0.75
+
+
 def test_fit_host_features_learns():
     """The host-resident-feature sampled path (papers100M regime: x never
     device-resident whole; train/host_loader.py) trains to the same
