@@ -82,6 +82,19 @@ def test_stream_rejects_unsorted_when_assumed(rng):
         EdgeStream(ei, num_nodes=8, assume_sorted=True)
 
 
+def test_device_put_slabbed_roundtrip(rng):
+    """Slab-wise forced upload == the plain array (values and dtype),
+    for both under- and over-slab-size inputs."""
+    from gnn_tpu.graphs.streaming import device_put_slabbed
+
+    small = rng.normal(size=(7, 3)).astype(np.float32)
+    big = rng.normal(size=(1000, 16)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(device_put_slabbed(small)), small)
+    out = device_put_slabbed(big, slab_bytes=big[:100].nbytes)
+    assert out.dtype == big.dtype
+    np.testing.assert_array_equal(np.asarray(out), big)
+
+
 def test_chunks_rle_roundtrip(rng):
     """Run-length counts re-expand to exactly the sorted local dst ids
     (the transfer-halving encoding the device step decodes)."""
