@@ -35,6 +35,11 @@ throughput ~5x. The small normalization cost is calibrated and subtracted.
   share state); to keep the denominator honest the calibration runs THREE
   times, interleaved with the measured workloads, and the MEDIAN ns/row is
   used and recorded in the JSON (``gather_ns_per_row``) for auditability.
+* ``blocked_vs_gather_sol`` carries extra cross-session spread (measured
+  1.07-1.32 for identical code/layout; the MXU-path rate itself moves
+  between chip sessions while the gather calibration stays flat — see
+  docs/PERF.md round 4). Sum-of-parts at this chip's skinny-N matmul rate
+  predicts ~1.07; favorable sessions print up to ~1.3.
 """
 
 from __future__ import annotations
