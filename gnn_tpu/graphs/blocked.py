@@ -182,9 +182,20 @@ def cluster_pack_order(labels: np.ndarray, rows: int) -> np.ndarray:
     larger than a window are pre-chopped into window-size chunks); bins
     that end underfull are concatenated and cut at window boundaries, so
     every window boundary splits at most one community. Deterministic for
-    a given labeling."""
+    a given labeling.
+
+    The native graph-core runs this with a segment-tree first-fit
+    (graph_native.cpp cluster_pack — same result, O(C log B) instead of
+    the Python scan's O(C x B); at 100M edges the Python packer was the
+    slowest prep phase, 40 s). Falls back to the Python scan below."""
     labels = np.asarray(labels, np.int64)
     n = len(labels)
+    if n:
+        from gnn_tpu import native
+
+        perm = native.cluster_pack(labels, int(rows))
+        if perm is not None:
+            return perm
     order_by_label = np.argsort(labels, kind="stable")
     counts = np.bincount(labels) if n else np.zeros(0, np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)])

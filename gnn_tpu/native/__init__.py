@@ -27,6 +27,7 @@ __all__ = [
     "sample_neighbors_host",
     "partition_by_edges",
     "label_propagation",
+    "cluster_pack",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -88,6 +89,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.label_propagation.argtypes = [
             ctypes.c_int64, i64p, i64p, f32p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_uint64, i64p,
+        ]
+        lib.cluster_pack.restype = None
+        lib.cluster_pack.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
         ]
         _lib = lib
         return _lib
@@ -291,3 +296,22 @@ def partition_by_edges(row_ptr: np.ndarray, num_parts: int) -> np.ndarray:
     targets = total * np.arange(1, num_parts) // num_parts
     bounds = np.searchsorted(row_ptr[:-1], targets, side="left")
     return np.concatenate([[0], bounds, [n_nodes]])
+
+
+def cluster_pack(labels: np.ndarray, rows: int):
+    """First-fit-decreasing packing of label groups into ``rows``-node
+    windows (graphs/blocked.py cluster_pack_order semantics). Returns the
+    new -> old node permutation, or None when the native core is
+    unavailable (caller falls back to the Python packer)."""
+    labels = _i64(labels)
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(labels)
+    n_labels = int(labels.max()) + 1 if n else 0
+    out = np.empty(n, np.int64)
+    lib.cluster_pack(
+        n, n_labels, _ptr(labels, ctypes.c_int64), int(rows),
+        _ptr(out, ctypes.c_int64),
+    )
+    return out

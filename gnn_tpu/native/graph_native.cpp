@@ -10,6 +10,7 @@
 // Pure C ABI (ctypes-friendly): no exceptions across the boundary, caller
 // allocates all buffers.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -240,6 +241,90 @@ int64_t label_propagation(int64_t n_nodes, const int64_t* row_ptr,
     out_label[v] = remap[l];
   }
   return k;
+}
+
+// First-fit-decreasing packing of community label groups into fixed
+// `rows`-node windows — the host-side prep of the cluster-packed blocked
+// layouts (graphs/blocked.py cluster_pack_order; this is its exact
+// semantics, >10x faster: the Python first-fit scan is O(chunks x bins),
+// here a segment tree gives first-fit in O(log bins) per chunk).
+// labels [n] in 0..n_labels-1; out_perm [n] receives new -> old node ids.
+void cluster_pack(int64_t n, int64_t n_labels, const int64_t* labels,
+                  int64_t rows, int64_t* out_perm) {
+  // Stable counting sort of nodes by label (== np.argsort(labels, stable)).
+  std::vector<int64_t> count(n_labels + 1, 0);
+  for (int64_t v = 0; v < n; ++v) count[labels[v] + 1]++;
+  for (int64_t l = 0; l < n_labels; ++l) count[l + 1] += count[l];
+  std::vector<int64_t> order(n);
+  {
+    std::vector<int64_t> cursor(count.begin(), count.end() - 1);
+    for (int64_t v = 0; v < n; ++v) order[cursor[labels[v]]++] = v;
+  }
+  // Chunks: (start offset into `order`, size), oversized groups chopped.
+  struct Chunk { int64_t start, size; };
+  std::vector<Chunk> chunks;
+  chunks.reserve(n_labels + n / std::max<int64_t>(rows, 1) + 1);
+  for (int64_t l = 0; l < n_labels; ++l) {
+    int64_t s = count[l], size = count[l + 1] - count[l];
+    while (size > rows) {
+      chunks.push_back({s, rows});
+      s += rows;
+      size -= rows;
+    }
+    if (size) chunks.push_back({s, size});
+  }
+  // FFD order: descending size, stable (ties keep label order).
+  std::stable_sort(chunks.begin(), chunks.end(),
+                   [](const Chunk& a, const Chunk& b) { return a.size > b.size; });
+  // First-fit via a segment tree of max remaining space over bin index.
+  int64_t max_bins = static_cast<int64_t>(chunks.size());
+  int64_t tree_n = 1;
+  while (tree_n < max_bins) tree_n <<= 1;
+  std::vector<int64_t> tree(2 * tree_n, -1);  // -1 = bin not created
+  auto update = [&](int64_t i, int64_t val) {
+    i += tree_n;
+    tree[i] = val;
+    for (i >>= 1; i >= 1; i >>= 1)
+      tree[i] = std::max(tree[2 * i], tree[2 * i + 1]);
+  };
+  std::vector<std::vector<int64_t>> bins;  // chunk indices per bin
+  std::vector<int64_t> space;
+  std::vector<int64_t> chunk_order(chunks.size());
+  for (size_t c = 0; c < chunks.size(); ++c) {
+    int64_t need = chunks[c].size;
+    int64_t bin = -1;
+    if (tree[1] >= need) {  // leftmost bin with space >= need
+      int64_t i = 1;
+      while (i < tree_n) {
+        i = (tree[2 * i] >= need) ? 2 * i : 2 * i + 1;
+      }
+      bin = i - tree_n;
+    }
+    if (bin < 0) {
+      bin = static_cast<int64_t>(bins.size());
+      bins.emplace_back();
+      space.push_back(rows);
+      update(bin, rows);
+    }
+    bins[bin].push_back(static_cast<int64_t>(c));
+    space[bin] -= need;
+    update(bin, space[bin]);
+  }
+  // Emit: full bins first (creation order), then underfull (creation
+  // order) concatenated — identical to the Python reference.
+  int64_t off = 0;
+  for (int pass = 0; pass < 2; ++pass) {
+    for (size_t b = 0; b < bins.size(); ++b) {
+      bool full = space[b] == 0;
+      if ((pass == 0) != full) continue;
+      for (int64_t ci : bins[b]) {
+        const Chunk& ch = chunks[ci];
+        std::memcpy(out_perm + off, order.data() + ch.start,
+                    sizeof(int64_t) * ch.size);
+        off += ch.size;
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -108,3 +108,25 @@ def test_coalesce_uses_native_and_matches(rng):
     out_p, w_p = graphs.coalesce(np.stack([src, dst]), w)  # lexsort path
     np.testing.assert_array_equal(out_n, out_p)
     np.testing.assert_allclose(w_n, w_p, rtol=1e-6)
+
+
+def test_cluster_pack_native_matches_python(rng, monkeypatch):
+    """The native segment-tree first-fit produces EXACTLY the Python
+    packer's permutation (same FFD order, same bin emission)."""
+    from gnn_tpu import native
+    from gnn_tpu.graphs import blocked
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    for _ in range(5):
+        n = int(rng.integers(50, 2000))
+        k = int(rng.integers(2, 50))
+        labels = rng.integers(0, k, n).astype(np.int64)
+        rows = int(rng.choice([8, 16, 64, 512]))
+        nat = blocked.cluster_pack_order(labels, rows)
+        with monkeypatch.context() as m:
+            m.setattr(native, "cluster_pack", lambda *a: None)
+            py = blocked.cluster_pack_order(labels, rows)
+        np.testing.assert_array_equal(nat, py)
+        # valid permutation
+        assert np.array_equal(np.sort(nat), np.arange(n))
