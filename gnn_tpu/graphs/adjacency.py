@@ -233,6 +233,7 @@ def build_adjacency(
     cluster_labels=None,
     cluster_iters: int = 10,
     cluster_seed: int = 0,
+    cluster_refine: int = 2,
 ) -> Adjacency:
     """Prepare an :class:`Adjacency` from a COO edge list [2, E].
 
@@ -296,11 +297,12 @@ def build_adjacency(
         from gnn_tpu.graphs.blocked import (
             cluster_pack_order,
             refine_pack_order,
+            refine_window_order,
         )
 
         R = int(block_rows)
+        order0, rp0 = _native.sort_edges_csr(src, dst, num_dst_nodes)
         if cluster_labels is None:
-            order0, rp0 = _native.sort_edges_csr(src, dst, num_dst_nodes)
             labels, _ = _native.label_propagation(
                 rp0,
                 src[order0],
@@ -315,11 +317,18 @@ def build_adjacency(
                     f"cluster_labels must be [{num_dst_nodes}], got "
                     f"{labels.shape}"
                 )
-        # pack communities into R-row windows, then sort within each window
-        # by descending remainder degree (enables the leveled-ELL remainder)
-        perm_host = refine_pack_order(
-            cluster_pack_order(labels, R), src, dst, R
+        # pack communities into R-row windows, boundary-refine the window
+        # assignment (KL-style swaps recover LP straddler losses — measured
+        # capture gain in docs/PERF.md), then sort within each window by
+        # descending remainder degree (enables the leveled-ELL remainder)
+        packed = refine_window_order(
+            cluster_pack_order(labels, R),
+            R,
+            row_ptr=rp0,
+            col=src[order0],
+            n_sweeps=cluster_refine,
         )
+        perm_host = refine_pack_order(packed, src, dst, R)
         old2new = np.empty(num_dst_nodes, np.int64)
         old2new[perm_host] = np.arange(num_dst_nodes)
         src, dst = old2new[src], old2new[dst]

@@ -133,6 +133,7 @@ def cluster_order(
     n_iters: int = 10,
     seed: int = 0,
     pack_rows: int = 0,
+    refine_sweeps: int = 2,
 ) -> np.ndarray:
     """Node permutation (new -> old) grouping nodes by discovered community
     (label propagation, native graph-core), communities in node-id order.
@@ -147,7 +148,8 @@ def cluster_order(
     ``pack_rows=R`` additionally packs the communities into windows of
     exactly R nodes (:func:`cluster_pack_order`, with the community size cap
     forced to R) so that every R-aligned boundary splits at most one
-    community. This is the order to use ahead of
+    community, then runs ``refine_sweeps`` boundary-refinement swap sweeps
+    (:func:`refine_window_order`; 0 disables). This is the order to use ahead of
     ``partition_graph(local_blocked=R)``: part boundaries land on R
     multiples, so community integrity holds at BOTH the partition level
     (small halo) and the window level (dense diagonal blocks capture the
@@ -170,7 +172,14 @@ def cluster_order(
         seed=seed,
     )
     if pack_rows:
-        return cluster_pack_order(labels, int(pack_rows))
+        perm = cluster_pack_order(labels, int(pack_rows))
+        return refine_window_order(
+            perm,
+            int(pack_rows),
+            row_ptr=rp0,
+            col=ei[0].astype(np.int64)[order0],
+            n_sweeps=refine_sweeps,
+        )
     return np.argsort(labels, kind="stable")
 
 
@@ -236,6 +245,41 @@ def cluster_pack_order(labels: np.ndarray, rows: int) -> np.ndarray:
             off += size
     assert off == n
     return perm
+
+
+def refine_window_order(
+    perm: np.ndarray,
+    rows: int,
+    *,
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    n_sweeps: int = 2,
+) -> np.ndarray:
+    """Boundary-refine a packed window order: greedy KL-style swaps of
+    nodes between windows (native graph-core ``refine_windows``) raise the
+    intra-window edge capture that label propagation + FFD packing leave on
+    the table (straddlers, split communities). Window sizes are preserved;
+    within-window order keeps the packing's order (``refine_pack_order``
+    re-sorts it afterwards anyway). ``row_ptr``/``col`` are the dst-major
+    CSR over ORIGINAL node ids (the one LP already built); ``perm`` is
+    new -> old."""
+    from gnn_tpu import native
+
+    perm = np.asarray(perm, np.int64)
+    n = len(perm)
+    if n == 0 or n_sweeps <= 0:
+        return perm
+    old2new = np.empty(n, np.int64)
+    old2new[perm] = np.arange(n)
+    R = int(rows)
+    win, swaps = native.refine_windows(
+        row_ptr, col, old2new // R, -(-n // R), n_sweeps=n_sweeps
+    )
+    if swaps == 0:
+        return perm
+    # Stable re-sort of positions by refined window: every window keeps its
+    # exact size (swaps are pairwise), so slice boundaries stay R-aligned.
+    return perm[np.argsort(win[perm], kind="stable")]
 
 
 def refine_pack_order(

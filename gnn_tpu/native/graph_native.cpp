@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -147,6 +149,18 @@ void partition_by_edges(int64_t n_nodes, int64_t n_parts,
 // geometrically, so later sweeps touch a small, shrinking frontier instead
 // of re-sweeping all E edges; measured end-to-end prep numbers per scale
 // are in docs/PERF.md ("Cluster prep cost").
+//
+// Approximation note: the active set tracks LABEL changes only. A node's
+// best vote also depends on community SIZES vs max_size, and a community
+// filling to (or dropping back below) the cap via distant nodes does not
+// reactivate the nodes voting over it — so convergence can differ from a
+// full re-sweep (and from the pre-active-set output for the same seed).
+// This is a deliberate heuristic trade: reactivating every voter adjacent
+// to a cap-crossing community would re-grow the frontier toward O(N) per
+// sweep, and the downstream consumer (window packing + the refine_windows
+// swap pass below) is itself a capture heuristic whose measured quality is
+// what matters (docs/PERF.md "Cluster prep cost": capture holds across
+// scales; refine_windows recovers boundary losses either way).
 // out_label [n_nodes]; returns the number of distinct labels.
 int64_t label_propagation(int64_t n_nodes, const int64_t* row_ptr,
                           const int64_t* col, const float* weight,
@@ -325,6 +339,275 @@ void cluster_pack(int64_t n, int64_t n_labels, const int64_t* labels,
       }
     }
   }
+}
+
+// Size-capped Louvain community detection: modularity local moves + graph
+// aggregation. Plurality-vote label propagation (above) stalls at a local
+// optimum well below planted-partition truth (measured: 0.80 edge capture
+// vs ~0.86 ground truth on the arxiv-scale clustered benchmark) because a
+// plurality tie between the home label and a denser true community is a
+// no-move; modularity's null-model term (k_v * tot_C / 2m) breaks exactly
+// those ties toward the denser community, and aggregation then escapes
+// single-node local optima entirely. Standard Louvain (Blondel et al.),
+// with one addition: a community's NODE count (summed through super-nodes)
+// may not exceed `max_size`, keeping every community packable into an
+// R-row device window (graphs/blocked.py).
+//
+// CSR over the symmetrized graph (in-edges; degree-symmetric input makes
+// in == out). weight optional. out_label [n]; returns #labels (compacted
+// in first-appearance-by-node-id order, same convention as LP above).
+int64_t louvain_cluster(int64_t n_nodes, const int64_t* row_ptr,
+                        const int64_t* col, const float* weight,
+                        int64_t max_levels, int64_t max_sweeps,
+                        int64_t max_size, double resolution,
+                        uint64_t rng_seed, int64_t* out_label) {
+  // Current aggregation level's graph (CSR, double weights).
+  std::vector<int64_t> rp(row_ptr, row_ptr + n_nodes + 1);
+  std::vector<int64_t> cl(col, col + row_ptr[n_nodes]);
+  std::vector<double> wt(row_ptr[n_nodes]);
+  for (int64_t e = 0; e < row_ptr[n_nodes]; ++e)
+    wt[e] = weight ? static_cast<double>(weight[e]) : 1.0;
+  // node_label[v]: original node -> current top-level community.
+  std::vector<int64_t> node_label(n_nodes);
+  for (int64_t v = 0; v < n_nodes; ++v) node_label[v] = v;
+  // nsize[super-node]: original node count it represents.
+  std::vector<int64_t> nsize(n_nodes, 1);
+  std::mt19937_64 rng(rng_seed);
+
+  double two_m = 0.0;
+  for (double w : wt) two_m += w;  // symmetric: sum over directed = 2m
+  if (two_m <= 0.0) {
+    for (int64_t v = 0; v < n_nodes; ++v) out_label[v] = v;
+    return n_nodes;
+  }
+
+  int64_t n = n_nodes;
+  for (int64_t level = 0; level < max_levels; ++level) {
+    // --- local-move phase on the current super-graph -----------------
+    std::vector<int64_t> comm(n);
+    std::vector<double> deg(n, 0.0), tot(n, 0.0);
+    std::vector<double> selfw(n, 0.0);
+    std::vector<int64_t> csize(n);
+    for (int64_t v = 0; v < n; ++v) {
+      comm[v] = v;
+      csize[v] = nsize[v];
+      for (int64_t e = rp[v]; e < rp[v + 1]; ++e) {
+        deg[v] += wt[e];
+        if (cl[e] == v) selfw[v] += wt[e];
+      }
+      tot[v] = deg[v];
+    }
+    std::vector<int64_t> order(n);
+    for (int64_t v = 0; v < n; ++v) order[v] = v;
+    std::vector<double> kin(n, 0.0);
+    std::vector<int64_t> touched;
+    int64_t total_moves = 0;
+    for (int64_t sweep = 0; sweep < max_sweeps; ++sweep) {
+      for (int64_t i = n - 1; i > 0; --i) {
+        int64_t j = static_cast<int64_t>(rng() % (i + 1));
+        std::swap(order[i], order[j]);
+      }
+      int64_t moves = 0;
+      for (int64_t oi = 0; oi < n; ++oi) {
+        int64_t v = order[oi];
+        int64_t cv = comm[v];
+        touched.clear();
+        for (int64_t e = rp[v]; e < rp[v + 1]; ++e) {
+          int64_t u = cl[e];
+          if (u == v) continue;
+          int64_t cu = comm[u];
+          if (kin[cu] == 0.0) touched.push_back(cu);
+          kin[cu] += wt[e];
+        }
+        // remove v from its community for the comparison
+        tot[cv] -= deg[v];
+        csize[cv] -= nsize[v];
+        double base = kin[cv] - resolution * deg[v] * tot[cv] / two_m;
+        int64_t best = cv;
+        double best_gain = base;
+        for (int64_t c : touched) {
+          if (c == cv) continue;
+          if (max_size > 0 && csize[c] + nsize[v] > max_size) continue;
+          double g = kin[c] - resolution * deg[v] * tot[c] / two_m;
+          if (g > best_gain || (g == best_gain && c < best)) {
+            best = c;
+            best_gain = g;
+          }
+        }
+        for (int64_t c : touched) kin[c] = 0.0;
+        tot[best] += deg[v];
+        csize[best] += nsize[v];
+        if (best != cv) {
+          comm[v] = best;
+          ++moves;
+        }
+      }
+      total_moves += moves;
+      if (moves == 0) break;
+    }
+    // compact community ids
+    std::vector<int64_t> remap(n, -1);
+    int64_t k = 0;
+    for (int64_t v = 0; v < n; ++v)
+      if (remap[comm[v]] < 0) remap[comm[v]] = k++;
+    for (int64_t v = 0; v < n; ++v) comm[v] = remap[comm[v]];
+    for (int64_t v = 0; v < n_nodes; ++v)
+      node_label[v] = comm[node_label[v]];
+    if (total_moves == 0 || k == n) break;  // converged at this level
+    // --- aggregation phase: communities become super-nodes -----------
+    std::vector<int64_t> new_nsize(k, 0);
+    for (int64_t v = 0; v < n; ++v) new_nsize[comm[v]] += nsize[v];
+    // bucket edges by (comm[v], comm[u]), merging duplicates per row
+    std::vector<int64_t> new_rp(k + 1, 0);
+    std::vector<int64_t> new_cl;
+    std::vector<double> new_wt;
+    new_cl.reserve(cl.size());
+    new_wt.reserve(cl.size());
+    {
+      // rows of the aggregate graph, built row-by-row with a scratch map
+      std::vector<int64_t> nodes_of;  // original super-nodes sorted by comm
+      std::vector<int64_t> cnt(k + 1, 0);
+      for (int64_t v = 0; v < n; ++v) cnt[comm[v] + 1]++;
+      for (int64_t c = 0; c < k; ++c) cnt[c + 1] += cnt[c];
+      nodes_of.resize(n);
+      {
+        std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+        for (int64_t v = 0; v < n; ++v) nodes_of[cur[comm[v]]++] = v;
+      }
+      std::vector<double> acc(k, 0.0);
+      std::vector<int64_t> hit;
+      for (int64_t c = 0; c < k; ++c) {
+        hit.clear();
+        for (int64_t i = cnt[c]; i < cnt[c + 1]; ++i) {
+          int64_t v = nodes_of[i];
+          for (int64_t e = rp[v]; e < rp[v + 1]; ++e) {
+            int64_t cu = comm[cl[e]];
+            if (acc[cu] == 0.0) hit.push_back(cu);
+            acc[cu] += wt[e];
+          }
+        }
+        std::sort(hit.begin(), hit.end());
+        for (int64_t cu : hit) {
+          new_cl.push_back(cu);
+          new_wt.push_back(acc[cu]);
+          acc[cu] = 0.0;
+        }
+        new_rp[c + 1] = static_cast<int64_t>(new_cl.size());
+      }
+    }
+    rp.swap(new_rp);
+    cl.swap(new_cl);
+    wt.swap(new_wt);
+    nsize.swap(new_nsize);
+    n = k;
+  }
+  // compact final labels in first-appearance order (LP convention)
+  std::vector<int64_t> remap(n_nodes, -1);
+  int64_t k = 0;
+  for (int64_t v = 0; v < n_nodes; ++v) {
+    int64_t l = node_label[v];
+    if (remap[l] < 0) remap[l] = k++;
+    out_label[v] = remap[l];
+  }
+  return k;
+}
+
+// Boundary refinement of a window packing: Kernighan–Lin-style greedy swap
+// sweeps over the window assignment produced by label_propagation +
+// cluster_pack. Windows are the consecutive `rows`-slices of the packed
+// permutation, so every window's size is fixed — improvement happens by
+// swapping node PAIRS between windows, raising the intra-window edge
+// fraction ("capture", the dense-diagonal share of graphs/blocked.py).
+//
+// Deterministic (no RNG): nodes are visited in ascending id order; a node
+// whose in-neighbors plurality-vote for another window B queues under the
+// ordered pair (A -> B) and is matched FIFO against nodes of B queued for
+// A; a matched pair swaps iff the exact pair delta (gain_v + gain_u -
+// 2 * edges(u, v)) is positive. Failed or stale candidates are discarded
+// for the sweep (re-queuing them can cycle). Votes use IN-edges only: on
+// the degree-symmetric graphs the blocked layout is built from
+// (to_undirected + self loops) the in-edge gain is exactly half the true
+// objective delta, so every accepted swap strictly raises capture.
+// win [n] (inout): window id per node. Returns the number of swaps.
+int64_t refine_windows(int64_t n, const int64_t* row_ptr, const int64_t* col,
+                       int64_t n_windows, int64_t n_sweeps, int64_t* win) {
+  std::vector<int64_t> votes(n_windows, 0);
+  std::vector<int64_t> touched;
+  struct Queue { std::vector<int64_t> q; size_t head = 0; };
+  std::unordered_map<uint64_t, Queue> pending;
+  auto key = [n_windows](int64_t from, int64_t to) {
+    return static_cast<uint64_t>(from) * static_cast<uint64_t>(n_windows) +
+           static_cast<uint64_t>(to);
+  };
+  // Gain of moving v to `to`, and v's in-edge count to a third window
+  // `other` (pass -1 to skip): one O(deg) scan serves the pair check.
+  auto gain2 = [&](int64_t v, int64_t to, int64_t partner) {
+    int64_t w_cur = 0, w_to = 0, w_pair = 0;
+    int64_t home = win[v];
+    for (int64_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e) {
+      int64_t u = col[e];
+      if (u == v) continue;  // self loops are intra in every assignment
+      if (u == partner) ++w_pair;
+      if (win[u] == home) ++w_cur;
+      else if (win[u] == to) ++w_to;
+    }
+    return std::pair<int64_t, int64_t>(w_to - w_cur, w_pair);
+  };
+  int64_t total_swaps = 0;
+  for (int64_t sweep = 0; sweep < n_sweeps; ++sweep) {
+    pending.clear();
+    int64_t swaps = 0;
+    for (int64_t v = 0; v < n; ++v) {
+      int64_t lo = row_ptr[v], hi = row_ptr[v + 1];
+      if (lo == hi) continue;
+      touched.clear();
+      for (int64_t e = lo; e < hi; ++e) {
+        int64_t u = col[e];
+        if (u == v) continue;
+        int64_t wu = win[u];
+        if (votes[wu] == 0) touched.push_back(wu);
+        votes[wu]++;
+      }
+      int64_t A = win[v], best = A;
+      int64_t best_votes = votes[A];  // 0 if no neighbor shares A
+      for (int64_t wu : touched) {
+        if (votes[wu] > best_votes ||
+            (votes[wu] == best_votes && wu < best)) {
+          best = wu;
+          best_votes = votes[wu];
+        }
+      }
+      int64_t g_v = votes[best] - votes[A];
+      for (int64_t wu : touched) votes[wu] = 0;
+      if (best == A || g_v <= 0) continue;
+      int64_t B = best;
+      auto it = pending.find(key(B, A));
+      bool swapped = false;
+      if (it != pending.end()) {
+        Queue& q = it->second;
+        while (q.head < q.q.size()) {
+          int64_t u = q.q[q.head++];
+          if (win[u] != B) continue;  // stale: u already swapped away
+          auto [g_u, m_uv] = gain2(u, A, v);
+          if (g_v + g_u - 2 * m_uv > 0) {
+            win[v] = B;
+            win[u] = A;
+            ++swaps;
+            swapped = true;
+            break;
+          }
+          // failed candidate: discarded for this sweep (see header)
+        }
+      }
+      if (!swapped) {
+        Queue& q = pending[key(A, B)];
+        q.q.push_back(v);
+      }
+    }
+    total_swaps += swaps;
+    if (swaps == 0) break;
+  }
+  return total_swaps;
 }
 
 }  // extern "C"

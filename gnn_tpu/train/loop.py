@@ -139,7 +139,14 @@ def fit(
         # accept a ``mask`` kwarg (EncoderGCN and GCNConv do).
         import inspect
 
-        if "mask" not in inspect.signature(type(model).__call__).parameters:
+        params = inspect.signature(type(model).__call__).parameters
+        accepts_mask = "mask" in params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+        # A **kwargs signature is accepted (wrapped/forwarding models), but
+        # the kwarg must actually be honored — a model that swallows it
+        # would silently fold padding rows into its batch statistics.
+        if not accepts_mask:
             raise ValueError(
                 f"{type(model).__name__} carries buffer state (BatchNorm "
                 "running stats) but its __call__ accepts no 'mask' kwarg: "

@@ -51,7 +51,11 @@ def test_cluster_order_pack_rows_boundary_invariant():
     multiple of R under local_blocked — splits at most one community."""
     ei, _ = _clustered_graph(N=600, k=12, seed=3)
     R = 32
-    perm = graphs.cluster_order(ei, 600, pack_rows=R)
+    # The label-level invariant holds for the PACKING stage; the boundary
+    # refinement afterwards (refine_sweeps, default on) deliberately trades
+    # it for strictly more intra-window EDGES (the actual capture
+    # objective), so it is asserted with refinement off.
+    perm = graphs.cluster_order(ei, 600, pack_rows=R, refine_sweeps=0)
     assert sorted(perm.tolist()) == list(range(600))
     # recover the communities the order was built from (same seeded LP)
     order0, rp0 = native.sort_edges_csr(ei[0], ei[1], 600)
@@ -64,6 +68,16 @@ def test_cluster_order_pack_rows_boundary_invariant():
         left, right = lab_new[b : b + R], lab_new[b + R :]
         straddle = set(np.unique(left)) & set(np.unique(right))
         assert len(straddle) <= 1, (b, straddle)
+
+    def capture(p):
+        old2new = np.empty(600, np.int64)
+        old2new[p] = np.arange(600)
+        s, d = old2new[ei[0]] // R, old2new[ei[1]] // R
+        return float((s == d).mean())
+
+    refined = graphs.cluster_order(ei, 600, pack_rows=R)
+    assert sorted(refined.tolist()) == list(range(600))
+    assert capture(refined) >= capture(perm)
 
 
 def test_label_propagation_recovers_sbm_blocks():

@@ -130,3 +130,88 @@ def test_cluster_pack_native_matches_python(rng, monkeypatch):
         np.testing.assert_array_equal(nat, py)
         # valid permutation
         assert np.array_equal(np.sort(nat), np.arange(n))
+
+
+def test_refine_windows_native_matches_python(rng, monkeypatch):
+    """The native KL-style swap sweep produces EXACTLY the Python
+    fallback's assignment (same visit order, FIFO pairing, tie-breaks)."""
+    from gnn_tpu import native
+    from gnn_tpu.graphs.generate import clustered_power_law
+    from gnn_tpu.graphs import to_undirected
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    for seed in range(3):
+        n = 400
+        ei = clustered_power_law(
+            n, 1600, avg_community=40, intra_frac=0.8, seed=seed
+        )
+        ei, _ = to_undirected(ei, num_nodes=n)
+        order, rp = native.sort_edges_csr(ei[0], ei[1], n)
+        col = np.asarray(ei[0], np.int64)[order]
+        # a deliberately bad assignment: round-robin scatters communities
+        win0 = (np.arange(n) % 5).astype(np.int64)
+        nat, s_nat = native.refine_windows(rp, col, win0, 5, n_sweeps=3)
+        with monkeypatch.context() as m:
+            m.setattr(native, "_load", lambda: None)
+            py, s_py = native.refine_windows(rp, col, win0, 5, n_sweeps=3)
+        np.testing.assert_array_equal(nat, py)
+        assert s_nat == s_py > 0
+        # swaps preserve window sizes exactly
+        np.testing.assert_array_equal(
+            np.bincount(nat, minlength=5), np.bincount(win0, minlength=5)
+        )
+
+
+def test_refine_windows_improves_capture(rng):
+    """Every accepted swap raises the intra-window edge fraction on a
+    symmetric graph — and on a community graph with a shuffled packing the
+    gain is material."""
+    from gnn_tpu import native
+    from gnn_tpu.graphs.generate import clustered_power_law
+    from gnn_tpu.graphs import to_undirected
+
+    n, R = 1024, 64
+    ei = clustered_power_law(
+        n, 6000, avg_community=48, intra_frac=0.85, seed=3
+    )
+    ei, _ = to_undirected(ei, num_nodes=n)
+    order, rp = native.sort_edges_csr(ei[0], ei[1], n)
+    col = np.asarray(ei[0], np.int64)[order]
+    src, dst = np.asarray(ei[0], np.int64), np.asarray(ei[1], np.int64)
+
+    def capture(win):
+        return float((win[src] == win[dst]).mean())
+
+    win0 = rng.permutation(n) // R  # shuffled: near-random capture
+    win1, swaps = native.refine_windows(rp, col, win0, n // R, n_sweeps=8)
+    assert swaps > 0
+    assert capture(win1) > capture(win0) + 0.1
+
+
+def test_louvain_cluster_respects_cap_and_recovers_structure(rng):
+    """Size-capped Louvain: communities never exceed the cap and recover a
+    planted partition at least as well as plurality LP on label capture."""
+    from gnn_tpu import native
+    from gnn_tpu.graphs.generate import clustered_power_law
+    from gnn_tpu.graphs import to_undirected
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    n = 2000
+    ei = clustered_power_law(
+        n, 12_000, avg_community=60, intra_frac=0.85, seed=1
+    )
+    ei, _ = to_undirected(ei, num_nodes=n)
+    order, rp = native.sort_edges_csr(ei[0], ei[1], n)
+    col = np.asarray(ei[0], np.int64)[order]
+    src, dst = np.asarray(ei[0], np.int64), np.asarray(ei[1], np.int64)
+    cap = 128
+    lab, k = native.louvain_cluster(rp, col, max_size=cap, seed=0)
+    assert lab.shape == (n,) and lab.min() == 0 and lab.max() == k - 1
+    assert np.bincount(lab).max() <= cap
+    lp, _ = native.label_propagation(rp, col, max_size=cap, seed=0)
+    cap_louvain = float((lab[src] == lab[dst]).mean())
+    cap_lp = float((lp[src] == lp[dst]).mean())
+    assert cap_louvain >= cap_lp - 0.01  # ties LP at worst
+    assert cap_louvain > 0.5  # recovers most of the planted structure
