@@ -142,6 +142,15 @@ class EdgeStream:
             hi = min(lo + self.chunk_edges, self.num_edges)
             spans.append(int(self.dst[hi - 1]) - int(self.dst[lo]) + 1 if hi > lo else 1)
         self.range_rows = ((max(spans) + 7) // 8) * 8
+        # Static geometry for the scatter-free rank-compact segment sum
+        # (device path of streaming_spmm; disabled for chunk sizes the
+        # fixed sub-chunk doesn't tile).
+        if self.chunk_edges % RANK_CK == 0 and self.num_edges:
+            self.rank_h, self.rank_k = _rank_geometry(
+                self.dst, self.chunk_edges
+            )
+        else:
+            self.rank_h = self.rank_k = 0
 
     def transpose(self) -> "EdgeStream":
         """The reversed-edge stream (dst-sorted by the ORIGINAL sources) —
@@ -196,6 +205,81 @@ class EdgeStream:
             yield np.concatenate(parts), d_lo
 
 
+RANK_CK = 512  # fixed sub-chunk of the rank-compact segment sum
+
+
+def _rank_geometry(dst_sorted: np.ndarray, chunk_edges: int):
+    """Host scan for the rank-compact segment sum's static geometry: over
+    all chunks, the max distinct-destination count per RANK_CK-edge window
+    (H — the one-hot height) and per chunk (K — the compact output rows,
+    +1 rank reserved for padding slots). O(E), structure-only."""
+    E = len(dst_sorted)
+    C = int(chunk_edges)
+    H = K = 1
+    for lo in range(0, max(E, 1), C):
+        d = dst_sorted[lo : lo + C]
+        if len(d) == 0:
+            continue
+        rank = np.empty(len(d), np.int64)
+        rank[0] = 0
+        np.cumsum(np.diff(d) != 0, out=rank[1:])
+        K = max(K, int(rank[-1]) + 2)  # +1 rank for padding slots
+        idx = np.arange(0, len(d), RANK_CK)
+        ends = np.minimum(idx + RANK_CK, len(d)) - 1
+        # +1 slack: a short chunk's padding run adds one distinct rank to
+        # whatever window it starts in
+        H = max(H, int((rank[ends] - rank[idx]).max()) + 2)
+    return ((H + 7) // 8) * 8, ((K + 7) // 8) * 8
+
+
+def _rank_segment_sum(msg, counts, *, C, R, H, K):
+    """Sorted segment-sum WITHOUT a scatter: the compact-rank one-hot MXU
+    reduction (A/B'd on chip in benchmarks/stream_step.py — the XLA sorted
+    scatter ran 78 ms per 1M-edge chunk at F=32; this runs ~10 ms).
+
+    Ranks (gapless indices of distinct destinations) make the one-hot
+    height H a *distinct-count* bound instead of a row-span bound, so the
+    batched [G, H, Ck] x [G, Ck, F] matmul stays skinny; partials combine
+    by monotone dynamic-slice adds in compact rank space, and one [R]-row
+    gather maps ranks back to destination rows. msg f32 uses the bf16
+    hi+lo two-pass split (f32-grade error, see ops/pallas/segment.py).
+    Returns [R, F] partial sums (padding slots dropped)."""
+    F = msg.shape[1]
+    nz = (counts > 0).astype(jnp.int32)
+    rank_of = jnp.cumsum(nz) - nz  # [R+1] exclusive nonzero prefix
+    starts = jnp.cumsum(counts)[:-1]  # [R] starts of segments 1..R
+    marks = jnp.zeros((C,), jnp.int32).at[starts].add(1)
+    marks = jnp.minimum(marks, 1).at[0].set(0)
+    edge_rank = jnp.cumsum(marks)  # [C] compact rank per edge slot
+    G = C // RANK_CK
+    er = edge_rank.reshape(G, RANK_CK)
+    base = er[:, 0]
+    local = er - base[:, None]  # [G, Ck] in [0, H)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    m3 = msg.reshape(G, RANK_CK, F)
+    # precision note (measured on chip, round 5): DEFAULT lowers f32 dots
+    # to ONE bf16 pass (2e-2 abs error on N(0,1) sums), and the manual
+    # bf16 hi+lo two-pass trick is silently ALGEBRAICALLY FOLDED by XLA
+    # into dot(onehot, hi+lo) == the same single pass (the Pallas kernel
+    # is immune only because Mosaic compiles its dots directly). HIGHEST
+    # measured the SAME wall time as the folded single pass here — the
+    # one-hot matmul is bandwidth-, not MXU-bound — at 6e-7 error.
+    onehot = (local[:, None, :] == iota).astype(msg.dtype)
+    partial = jax.lax.dot_general(
+        onehot, m3, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def body(g, oc):
+        cur = jax.lax.dynamic_slice(oc, (base[g], 0), (H, F))
+        return jax.lax.dynamic_update_slice(oc, cur + partial[g], (base[g], 0))
+
+    oc = jax.lax.fori_loop(0, G, body, jnp.zeros((K + H, F), jnp.float32))
+    return jnp.take(oc, rank_of[:R], axis=0) * nz[:R, None].astype(jnp.float32)
+
+
 def _rle_expand(counts: jax.Array, total: int) -> jax.Array:
     """Expand run-length counts [K] into the sorted id vector [total]
     (== jnp.repeat(arange(K), counts, total_repeat_length=total)) via
@@ -242,6 +326,7 @@ def streaming_spmm(
     *,
     out_dtype=None,
     norm: Optional[jax.Array] = None,
+    segment_backend: str = "auto",
 ) -> jax.Array:
     """out = A @ x with A streamed from the host chunk by chunk.
 
@@ -264,6 +349,8 @@ def streaming_spmm(
     """
     if norm is not None and stream.weight is not None:
         raise ValueError("pass either baked edge weights or norm, not both")
+    if segment_backend not in ("auto", "rank", "scatter"):
+        raise ValueError(f"unknown segment_backend '{segment_backend}'")
     F = x.shape[1]
     R = stream.range_rows
     C = stream.chunk_edges
@@ -271,16 +358,21 @@ def streaming_spmm(
     out_dtype = out_dtype or x.dtype
     weighted = stream.weight is not None
     use_norm = norm is not None
+    use_rank = segment_backend != "scatter" and stream.rank_h > 0
+    if segment_backend == "rank" and not use_rank:
+        raise ValueError(
+            f"rank backend needs chunk_edges % {RANK_CK} == 0"
+        )
 
     @jax.jit
     def step(out, x, norm, packed, d_lo):
         src = packed[:C]
         counts = packed[C : C + R + 1]
-        # Re-expand the run-length counts into the sorted local dst ids
-        # (padding slots land in segment R and are dropped below).
-        dstl = _rle_expand(counts, C)
         msg = jnp.take(x, src, axis=0)
         if use_norm:
+            # Re-expand the run-length counts into the sorted local dst
+            # ids (only this branch needs them per-edge).
+            dstl = _rle_expand(counts, C)
             dst_g = jnp.minimum(d_lo + dstl, N - 1)
             we = jnp.take(norm, src) * jnp.take(norm, dst_g)
             msg = msg * we[:, None].astype(msg.dtype)
@@ -289,9 +381,17 @@ def streaming_spmm(
                 packed[C + R + 1 :], jnp.float32
             )
             msg = msg * w[:, None].astype(msg.dtype)
-        part = jax.ops.segment_sum(
-            msg, dstl, R + 1, indices_are_sorted=True
-        )[:R].astype(out.dtype)
+        if use_rank:
+            # scatter-free compact-rank reduction: measured 2.1x the whole
+            # step over the XLA scatter on chip (benchmarks/stream_step.py)
+            part = _rank_segment_sum(
+                msg, counts, C=C, R=R, H=stream.rank_h, K=stream.rank_k
+            ).astype(out.dtype)
+        else:
+            dstl = _rle_expand(counts, C)
+            part = jax.ops.segment_sum(
+                msg, dstl, R + 1, indices_are_sorted=True
+            )[:R].astype(out.dtype)
         cur = jax.lax.dynamic_slice(out, (d_lo, 0), (R, F))
         return jax.lax.dynamic_update_slice(out, cur + part, (d_lo, 0))
 
@@ -410,6 +510,11 @@ class DistEdgeStream:
         self.range_rows = R
         self.num_chunks = max(s.num_chunks for s in self.streams)
         self.has_weight = w is not None
+        # shared rank-compact geometry (one compiled step for the mesh)
+        self.rank_h = max(s.rank_h for s in self.streams)
+        self.rank_k = max(s.rank_k for s in self.streams)
+        if any(s.rank_h == 0 for s in self.streams):
+            self.rank_h = self.rank_k = 0
 
         # First pass: only the per-chunk unique-source COUNTS (u_max sizes
         # the packed transfer; ``u_sizes`` lets callers audit the padding
@@ -492,16 +597,21 @@ class DistEdgeStream:
                 feats = jax.lax.bitcast_convert_type(
                     packed[o_feat:], jnp.float32
                 ).reshape(U, F)
-                dstl = _rle_expand(counts, C)
                 msg = jnp.take(feats, inv, axis=0)
                 if weighted:
                     w = jax.lax.bitcast_convert_type(
                         packed[o_w : o_w + C], jnp.float32
                     )
                     msg = msg * w[:, None].astype(msg.dtype)
-                part = jax.ops.segment_sum(
-                    msg, dstl, R + 1, indices_are_sorted=True
-                )[:R].astype(out.dtype)
+                if self.rank_h > 0:
+                    part = _rank_segment_sum(
+                        msg, counts, C=C, R=R, H=self.rank_h, K=self.rank_k
+                    ).astype(out.dtype)
+                else:
+                    dstl = _rle_expand(counts, C)
+                    part = jax.ops.segment_sum(
+                        msg, dstl, R + 1, indices_are_sorted=True
+                    )[:R].astype(out.dtype)
                 cur = jax.lax.dynamic_slice(out, (d_lo, 0), (R, F))
                 return jax.lax.dynamic_update_slice(
                     out, cur + part, (d_lo, 0)

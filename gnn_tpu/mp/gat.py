@@ -49,12 +49,19 @@ def _segment_max_shift(adj: Adjacency, e: jax.Array) -> jax.Array:
     below it (exp -> 0 for the whole segment, and the denominator guard then
     silently zeroes the node's output). The [E, H] scatter-max is cheap
     relative to the [E, H*F] numerator work."""
-    m = segment_max(
-        jax.lax.stop_gradient(e),
-        adj.dst,
-        adj.num_dst_nodes,
-        indices_are_sorted=True,
-    )
+    if adj.edge_agg is not None:
+        # gather-rate segment max (ops/edge_agg.py) — XLA's scatter-max
+        # pays the same per-row scatter penalty as scatter-add
+        from gnn_tpu.ops.edge_agg import edge_aggregate_max
+
+        m = edge_aggregate_max(jax.lax.stop_gradient(e), adj.edge_agg)
+    else:
+        m = segment_max(
+            jax.lax.stop_gradient(e),
+            adj.dst,
+            adj.num_dst_nodes,
+            indices_are_sorted=True,
+        )
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # empty segments
     return m[adj.dst]
 
@@ -155,7 +162,28 @@ class GATConv(MessagePassing):
         # is the frontier prefix; no-op on full graphs).
         e = gather_dst_edges(alpha_dst[:N_out], adj) + cat_src[:, H * F :]
         e = leaky_relu(e, self.negative_slope)
-        if adj.chunk_plan is not None and not return_attention:
+        if adj.edge_agg is not None and not return_attention:
+            # Gather-rate flash path (ops/edge_agg.py): numerator AND
+            # softmax denominator ride ONE slot-table aggregation — the
+            # 128-lane-tile penalty that forced the round-4 split applies
+            # to the one-hot kernel's DMA, not to gathers, so the fused
+            # [E, H*F + H] pass is free of the extra reduction entirely.
+            # Backward: d(cat) is one dst-gather (edge_aggregate's VJP) and
+            # d(h_src) one transpose slot aggregation (gather_src's VJP).
+            ex = jnp.exp(e - _segment_max_shift(adj, e))  # [E, H]
+            ex_num = (
+                dropout_fn(key, ex, self.dropout_rate)
+                if self.dropout_rate > 0 and not self.inference
+                else ex
+            )
+            cat = jnp.concatenate(
+                [(ex_num[:, :, None] * h_src).reshape(E, H * F), ex], axis=1
+            )
+            agg = segment_sum_edges(cat, adj)  # [N_dst, H*F + H]
+            num = agg[:, : H * F].reshape(adj.num_dst_nodes, H, F)
+            den = agg[:, H * F :]
+            out = num / jnp.maximum(den, 1e-16)[:, :, None]
+        elif adj.chunk_plan is not None and not return_attention:
             # Scatter-free flash path: the [E, H*F] numerator rides the
             # Pallas one-hot segment-sum; the [E, H] softmax denominator
             # rides XLA's sorted segment_sum. Measured on this chip

@@ -53,7 +53,13 @@ def gather_src_edges(
 
     def bwd(shape, g):
         gf = g.reshape(g.shape[0], -1)
-        if _pallas_ok(adj.t_chunk_plan, gf.shape[0], interpret):
+        if getattr(adj, "t_edge_agg", None) is not None:
+            # one gather: the transpose slot tables fold the permute-to-
+            # src-order into the aggregation (ops/edge_agg.py)
+            from gnn_tpu.ops.edge_agg import edge_aggregate
+
+            dx = edge_aggregate(gf, adj.t_edge_agg)
+        elif _pallas_ok(adj.t_chunk_plan, gf.shape[0], interpret):
             # reorder cotangents into src-sorted order, reduce on the MXU
             gp = jnp.take(gf, adj.t_perm, axis=0)
             dx = _segsum_planned(gp, adj.t_chunk_plan, adj.num_src_nodes, interpret)
@@ -84,7 +90,11 @@ def gather_dst_edges(
 
     def bwd(shape, g):
         gf = g.reshape(g.shape[0], -1)
-        if _pallas_ok(adj.chunk_plan, gf.shape[0], interpret):
+        if getattr(adj, "edge_agg", None) is not None:
+            from gnn_tpu.ops.edge_agg import edge_aggregate
+
+            dx = edge_aggregate(gf, adj.edge_agg)
+        elif _pallas_ok(adj.chunk_plan, gf.shape[0], interpret):
             dx = _segsum_planned(gf, adj.chunk_plan, adj.num_dst_nodes, interpret)
         else:
             dx = segment_sum(

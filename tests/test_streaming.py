@@ -236,3 +236,40 @@ def test_dist_edge_stream_uneven_parts(rng):
     np.testing.assert_allclose(
         out, dense_oracle(ei, None, n, x_host), rtol=1e-4, atol=1e-4
     )
+
+
+def test_rank_segment_backend_matches_scatter():
+    """The scatter-free rank-compact segment sum (the fast device path,
+    chunk_edges % 512 == 0) is numerically equivalent to the XLA scatter
+    path — including empty segments, hub runs straddling sub-chunk cuts,
+    padded trailing chunks, norm and baked-weight variants."""
+    rng = np.random.default_rng(7)
+    N, E, F = 700, 3000, 12
+    # heavy hub + long empty stretches: worst case for rank geometry
+    src = rng.integers(0, N, E)
+    dst = np.concatenate(
+        [np.full(900, 13), rng.integers(0, N, E - 900)]
+    )
+    x = rng.normal(size=(N, F)).astype(np.float32)
+    w = rng.normal(size=E).astype(np.float32)
+    for kwargs in (
+        {},
+        {"edge_weight": w},
+        {"norm": np.abs(rng.normal(size=N)).astype(np.float32) + 0.1},
+    ):
+        norm = kwargs.pop("norm", None)
+        stream = EdgeStream(
+            np.stack([src, dst]), kwargs.get("edge_weight"),
+            num_nodes=N, chunk_edges=1024,
+        )
+        assert stream.rank_h > 0  # the rank path is actually engaged
+        args = dict(norm=None if norm is None else jnp.asarray(norm))
+        got = streaming_spmm(
+            stream, jnp.asarray(x), segment_backend="rank", **args
+        )
+        want = streaming_spmm(
+            stream, jnp.asarray(x), segment_backend="scatter", **args
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
