@@ -25,6 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gcn", choices=["gcn", "sage", "gat"])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--bf16-messages", action="store_true",
+                    help="GAT only: store edge messages in bfloat16 "
+                    "(softmax/denominator stay f32)")
     ap.add_argument("--nodes", type=int, default=169_343)
     ap.add_argument("--edges", type=int, default=1_157_799)
     ap.add_argument("--features", type=int, default=128)
@@ -98,7 +101,8 @@ def main():
     elif args.model == "sage":
         model = GraphSAGE(F, args.hidden, args.classes, key=key, dropout=0.0)
     else:
-        model = GAT(F, 32, args.classes, key=key, heads=8, dropout=0.0)
+        model = GAT(F, 32, args.classes, key=key, heads=8, dropout=0.0,
+                    message_dtype=jnp.bfloat16 if args.bf16_messages else None)
 
     params, static = nn.partition(model)
     opt = optim.adam(1e-2)

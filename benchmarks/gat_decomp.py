@@ -93,7 +93,7 @@ def main():
         g = jax.grad(lambda x: 0.5 * jnp.sum(conv(x, adj) ** 2))(x)
         return nrm(g)
 
-    rows["layer_fwd_bwd"] = timeit(chain(fb, x)) - dt_nrm
+    rows["layer_fwd_bwd"] = timeit(chain(fb), x) - dt_nrm
 
     # pieces (each on a [N, H*F]-shaped carrier, consumed nonlinearly)
     from gnn_tpu.ops.gather import gather_src_edges
@@ -104,7 +104,7 @@ def main():
         g = gather_src_edges(x, adj)
         return nrm(x + jnp.sum(g * g, axis=0)[None, :] * 1e-6)
 
-    rows["src_gather_E_rows"] = timeit(chain(src_gather_fwd, x)) - dt_nrm
+    rows["src_gather_E_rows"] = timeit(chain(src_gather_fwd), x) - dt_nrm
 
     def src_gather_bwd(x):
         # the VJP reduction alone: d_x of sum(gather(x) * const-ish)
@@ -113,21 +113,21 @@ def main():
         )(x)
         return nrm(x + g * 1e-6)
 
-    rows["src_gather_fwd_plus_vjp"] = timeit(chain(src_gather_bwd, x)) - dt_nrm
+    rows["src_gather_fwd_plus_vjp"] = timeit(chain(src_gather_bwd), x) - dt_nrm
 
     def agg_fwd(x):
         msg = gather_src_edges(x, adj)  # [E, HF] carrier
         out = segment_sum_edges(msg, adj)
         return nrm(x + out * 1e-6)
 
-    rows["gather_plus_agg_fwd"] = timeit(chain(agg_fwd, x)) - dt_nrm
+    rows["gather_plus_agg_fwd"] = timeit(chain(agg_fwd), x) - dt_nrm
 
     def maxshift(x):
         e = gather_src_edges(x[:, : H], adj)  # [E, H] scores stand-in
         m = _segment_max_shift(adj, e)
         return nrm(x + jnp.sum(m * m) * 1e-9)
 
-    rows["scores_gather_plus_maxshift"] = timeit(chain(maxshift, x)) - dt_nrm
+    rows["scores_gather_plus_maxshift"] = timeit(chain(maxshift), x) - dt_nrm
 
     out = {k: round(v * 1e3, 2) for k, v in rows.items()}
     out["epoch_equiv_2layer_ms"] = round(rows["layer_fwd_bwd"] * 2 * 1e3, 1)

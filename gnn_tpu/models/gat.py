@@ -32,6 +32,7 @@ class GAT(Module):
         heads: int = 8,
         out_heads: int = 1,
         dropout: float = 0.6,
+        message_dtype=None,
     ):
         keys = jax.random.split(key, num_layers)
         self.num_layers = num_layers
@@ -47,6 +48,7 @@ class GAT(Module):
                     heads=out_heads if last else heads,
                     concat=not last,
                     dropout=dropout,
+                    message_dtype=message_dtype,
                 )
             )
             d_in = hidden_features * heads

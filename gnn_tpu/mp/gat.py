@@ -93,6 +93,11 @@ class GATConv(MessagePassing):
     negative_slope: float = static_field(default=0.2)
     dropout_rate: float = static_field(default=0.0)
     inference: bool = static_field(default=False)
+    # Edge-message storage dtype (None = x.dtype). bfloat16 halves every
+    # edge-wide row — the gathers at [E, 256] widths are bandwidth-
+    # sensitive (measured fwd+bwd 251 -> 190 ms per layer at arxiv scale);
+    # attention scores, softmax and the denominator stay f32 regardless.
+    message_dtype: object = static_field(default=None)
 
     def __init__(
         self,
@@ -106,6 +111,7 @@ class GATConv(MessagePassing):
         dropout: float = 0.0,
         use_bias: bool = True,
         dtype=jnp.float32,
+        message_dtype=None,
     ):
         k_lin, k_src, k_dst, k_bias = jax.random.split(key, 4)
         self.aggr = "sum"
@@ -116,6 +122,7 @@ class GATConv(MessagePassing):
         self.negative_slope = negative_slope
         self.dropout_rate = dropout
         self.inference = False
+        self.message_dtype = message_dtype
         self.lin = Linear(
             in_features, heads * out_features, key=k_lin, use_bias=False, dtype=dtype
         )
@@ -153,61 +160,49 @@ class GATConv(MessagePassing):
         # transpose-sorted reduction instead of an unsorted XLA scatter.
         alpha_src = jnp.einsum("nhf,hf->nh", h, self.att_src)  # [N, H]
         alpha_dst = jnp.einsum("nhf,hf->nh", h, self.att_dst)  # [N, H]
+        mdt = self.message_dtype or x.dtype
         cat_src = gather_src_edges(
-            jnp.concatenate([h.reshape(N, H * F), alpha_src], axis=1), adj
+            jnp.concatenate([h.reshape(N, H * F), alpha_src], axis=1).astype(
+                mdt
+            ),
+            adj,
         )  # [E, H*F + H]
         h_src = cat_src[:, : H * F].reshape(E, H, F)
         # SDDMM: e[e,h] = act(a_dst.x_i + a_src.x_j). Destination scores are
         # sliced to the dst rows first (bipartite sampled hops: the dst set
-        # is the frontier prefix; no-op on full graphs).
-        e = gather_dst_edges(alpha_dst[:N_out], adj) + cat_src[:, H * F :]
+        # is the frontier prefix; no-op on full graphs). Scores in f32.
+        e = gather_dst_edges(alpha_dst[:N_out], adj) + cat_src[
+            :, H * F :
+        ].astype(jnp.float32)
         e = leaky_relu(e, self.negative_slope)
-        if adj.edge_agg is not None and not return_attention:
-            # Gather-rate flash path (ops/edge_agg.py): numerator AND
-            # softmax denominator ride ONE slot-table aggregation — the
-            # 128-lane-tile penalty that forced the round-4 split applies
-            # to the one-hot kernel's DMA, not to gathers, so the fused
-            # [E, H*F + H] pass is free of the extra reduction entirely.
-            # Backward: d(cat) is one dst-gather (edge_aggregate's VJP) and
-            # d(h_src) one transpose slot aggregation (gather_src's VJP).
+        if (
+            adj.edge_agg is not None or adj.chunk_plan is not None
+        ) and not return_attention:
+            # Flash path, per-piece winners of the round-5 same-session
+            # config sweep (docs/PERF.md): the [E, H*F] numerator rides the
+            # one-hot MXU kernel where available (~10 ms at [E, 256] —
+            # slot-table gathers pay the measured edge-TABLE gather
+            # penalty and lose at ~26 ms); the [E, H] softmax denominator
+            # and the stabilizing segment-max ride the slot tables
+            # (ops/edge_agg.py — beat the XLA scatter/scatter-max by
+            # ~8 + 7 ms). ``message_dtype=bfloat16`` additionally halves
+            # every edge-wide row (gathers at these widths are
+            # bandwidth-sensitive): fwd+bwd 251 -> 190 ms per layer
+            # measured; softmax scores/denominator stay f32.
             ex = jnp.exp(e - _segment_max_shift(adj, e))  # [E, H]
             ex_num = (
                 dropout_fn(key, ex, self.dropout_rate)
                 if self.dropout_rate > 0 and not self.inference
                 else ex
             )
-            cat = jnp.concatenate(
-                [(ex_num[:, :, None] * h_src).reshape(E, H * F), ex], axis=1
+            numerator = (
+                ex_num.astype(h_src.dtype)[:, :, None] * h_src
+            ).reshape(E, H * F)
+            num = segment_sum_edges(numerator, adj).astype(jnp.float32)
+            num = num.reshape(adj.num_dst_nodes, H, F)
+            den = segment_sum_edges(
+                ex, adj, backend="agg" if adj.edge_agg is not None else "auto"
             )
-            agg = segment_sum_edges(cat, adj)  # [N_dst, H*F + H]
-            num = agg[:, : H * F].reshape(adj.num_dst_nodes, H, F)
-            den = agg[:, H * F :]
-            out = num / jnp.maximum(den, 1e-16)[:, :, None]
-        elif adj.chunk_plan is not None and not return_attention:
-            # Scatter-free flash path: the [E, H*F] numerator rides the
-            # Pallas one-hot segment-sum; the [E, H] softmax denominator
-            # rides XLA's sorted segment_sum. Measured on this chip
-            # (arxiv-scale, H*F=256): concatenating the denominator into
-            # the kernel input pads the lane dim to a third 128-tile
-            # (+53% kernel time) AND costs a full [E, H*F+H] copy — the
-            # split is ~1.6x faster than the round-3 fused-concat form.
-            # The stabilizing shift is per-segment (a global max underflows
-            # whole low-logit segments — see _segment_max_shift).
-            # Attention dropout masks the numerator's exp terms — same
-            # semantics as dropping normalized alphas.
-            ex = jnp.exp(e - _segment_max_shift(adj, e))  # [E, H]
-            ex_num = (
-                dropout_fn(key, ex, self.dropout_rate)
-                if self.dropout_rate > 0 and not self.inference
-                else ex
-            )
-            numerator = (ex_num[:, :, None] * h_src).reshape(E, H * F)
-            num = segment_sum_edges(numerator, adj).reshape(
-                adj.num_dst_nodes, H, F
-            )
-            den = segment_sum(
-                ex, adj.dst, adj.num_dst_nodes, indices_are_sorted=True
-            )  # [N_dst, H]
             out = num / jnp.maximum(den, 1e-16)[:, :, None]
         else:
             alpha = _edge_softmax(adj, e)  # [E, H]

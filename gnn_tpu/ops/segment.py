@@ -143,27 +143,33 @@ def segment_sum_edges(
 ) -> jax.Array:
     """Per-edge values [E, ...] -> per-destination sums [N_dst, ...].
 
-    Edge order is the adjacency's canonical dst-sorted order. Backend
-    'auto' prefers the gather-rate slot-table aggregation (ops/edge_agg.py
-    — measured ~4x the one-hot kernel at arxiv scale, and backend-
-    agnostic); 'pallas' forces the one-hot-matmul kernel; 'agg' forces the
-    slot tables; tiny graphs and plan-less adjacencies take the XLA
-    sorted-segment path. All paths have scatter-free gather VJPs.
+    Edge order is the adjacency's canonical dst-sorted order. Backends
+    (same-session A/B at arxiv scale, docs/PERF.md round 5): 'pallas'
+    (the one-hot MXU kernel) wins WIDE aggregations on TPU (~10 ms at
+    [E, 256] vs ~26 ms for the slot tables — slot gathers pay the
+    measured edge-TABLE gather penalty); 'agg' (ops/edge_agg.py slot
+    tables) is backend-agnostic (bit-identical on CPU) and wins segment
+    MAX (no kernel exists for max). 'auto' = kernel when available on
+    TPU, slot tables otherwise, XLA sorted-segment for tiny graphs.
+    All paths have scatter-free gather VJPs.
     """
     if backend == "agg" and getattr(adj, "edge_agg", None) is None:
         raise ValueError("adjacency has no edge_agg layout (layout='ell')")
-    if backend in ("auto", "agg") and getattr(adj, "edge_agg", None) is not None:
-        from gnn_tpu.ops.edge_agg import edge_aggregate
-
-        shape = values.shape
-        out = edge_aggregate(values.reshape(shape[0], -1), adj.edge_agg)
-        return out.reshape((adj.num_dst_nodes,) + shape[1:])
     use_pallas = (
         adj.chunk_plan is not None
         and backend in ("auto", "pallas")
         and (interpret or jax.default_backend() != "cpu")
         and values.shape[0] >= adj.chunk_plan.chunk
     )
+    if (
+        backend == "agg"
+        or (backend == "auto" and not use_pallas)
+    ) and getattr(adj, "edge_agg", None) is not None:
+        from gnn_tpu.ops.edge_agg import edge_aggregate
+
+        shape = values.shape
+        out = edge_aggregate(values.reshape(shape[0], -1), adj.edge_agg)
+        return out.reshape((adj.num_dst_nodes,) + shape[1:])
     if backend == "pallas" and adj.chunk_plan is None:
         raise ValueError("adjacency has no chunk plan (build with layout='ell')")
     if not use_pallas:

@@ -263,3 +263,29 @@ def test_data_rejects_out_of_range_edges(rng):
         graphs.Data(x=x, edge_index=np.array([[0, 1, 500], [1, 2, 3]]), num_nodes=4)
     with pytest.raises(ValueError, match="references node"):
         graphs.Data(x=x, edge_index=np.array([[-1], [0]]), num_nodes=4)
+
+
+def test_gat_bf16_messages_close_to_f32(rng):
+    """message_dtype=bfloat16 keeps outputs within bf16-grade tolerance of
+    the f32 path (scores/softmax/denominator stay f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_tpu import graphs
+    from gnn_tpu.mp.gat import GATConv
+
+    n, e = 300, 4000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    ei, _ = graphs.to_undirected(ei, num_nodes=n)
+    adj = graphs.build_adjacency(ei, num_nodes=n, layout="ell")
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    conv32 = GATConv(32, 8, heads=4, key=key)
+    convbf = GATConv(32, 8, heads=4, key=key, message_dtype=jnp.bfloat16)
+    o32 = np.asarray(conv32(x, adj))
+    obf = np.asarray(convbf(x, adj))
+    scale = np.abs(o32).max()
+    assert np.abs(obf - o32).max() < 0.03 * scale
+    # and it trains: grads exist and are finite
+    g = jax.grad(lambda x: float(0) + jnp.sum(convbf(x, adj) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
