@@ -56,11 +56,16 @@ def main():
             np.random.default_rng(1).normal(size=(N, F)).astype(np.float32)
         )
 
+        from gnn_tpu.ops.pallas.spmm import spmm_pallas
+
         def run(backend, a):
+            def op(a, x):
+                if backend == "pallas":  # retired from dispatch; direct
+                    return spmm_pallas(a, x)
+                return spmm(a, x, backend=backend)
+
             def step(x, a):
-                dx = jax.grad(
-                    lambda x: 0.5 * jnp.sum(spmm(a, x, backend=backend) ** 2)
-                )(x)
+                dx = jax.grad(lambda x: 0.5 * jnp.sum(op(a, x) ** 2))(x)
                 return nrm(dx)
 
             @jax.jit

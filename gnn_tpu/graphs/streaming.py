@@ -276,7 +276,13 @@ def _rank_segment_sum(msg, counts, *, C, R, H, K):
         cur = jax.lax.dynamic_slice(oc, (base[g], 0), (H, F))
         return jax.lax.dynamic_update_slice(oc, cur + partial[g], (base[g], 0))
 
-    oc = jax.lax.fori_loop(0, G, body, jnp.zeros((K + H, F), jnp.float32))
+    # The init must inherit the data's varying-manual-axes under shard_map
+    # (a replicated zeros carry fails the fori type check on a mesh);
+    # zeros_like propagates vma from `partial`.
+    oc0 = jnp.zeros((K + H, F), jnp.float32) + jnp.zeros_like(
+        partial, shape=(1, 1)
+    )
+    oc = jax.lax.fori_loop(0, G, body, oc0)
     return jnp.take(oc, rank_of[:R], axis=0) * nz[:R, None].astype(jnp.float32)
 
 

@@ -1,5 +1,15 @@
 """Pallas-backed CSR SpMM: XLA gather + one-hot MXU segment reduction.
 
+STATUS: EXPERIMENTAL / measured-out (round 5). Against every other
+backend in one session (benchmarks/spmm_backends.py) this configuration
+wins no regime — 2x the XLA scatter, but always under the ELL layouts
+(48 vs 93 M edges/s at arxiv scale, 30 vs 35 at 20k nodes) because the
+one-hot reduction burns R x C x F MACs where slot tables pay only the
+gather rate. It is no longer reachable via ops.spmm(backend=...); import
+spmm_pallas directly. The underlying kernel (ops/pallas/segment.py)
+remains the production path for GAT numerators and the blocked
+remainder, where no static-weight ELL formulation applies.
+
 This is the "CSR SpMM Pallas kernel" configuration of BASELINE.md. The
 TPU-native split of work (measured on v5e, docs/PERF.md):
 

@@ -340,9 +340,20 @@ def spmm(
             )
         return _spmm_sorted(x, adj.sorted_ell, adj.t_sorted_ell)
     if backend == "pallas":
-        from gnn_tpu.ops.pallas.spmm import spmm_pallas
-
-        return spmm_pallas(adj, x)
+        # Retired from the public dispatch (VERDICT r4 #7): measured on
+        # chip against every other backend (benchmarks/spmm_backends.py,
+        # docs/PERF.md round 5), the gather + one-hot-kernel CSR
+        # configuration wins NO regime — 2x the XLA scatter but always
+        # under the ELL layouts (48 vs 93 M edges/s at arxiv scale; even
+        # at 20k nodes plain ELL wins 35 vs 30). The kernel itself still
+        # backs GAT numerators and the blocked remainder, where no ELL
+        # formulation applies.
+        raise ValueError(
+            "spmm backend 'pallas' is retired: it wins no measured regime "
+            "(docs/PERF.md round 5). Use backend='auto' (ELL layouts), or "
+            "import the experimental gnn_tpu.ops.pallas.spmm.spmm_pallas "
+            "directly."
+        )
     if backend == "ell":
         if adj.ell is None or adj.t_ell is None:
             raise ValueError(

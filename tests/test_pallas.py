@@ -176,9 +176,10 @@ def test_spmm_pallas_matches_dense(rng):
               np.asarray(adj.weight))
     out = spmm_pallas(adj, jnp.asarray(x), interpret=True)
     np.testing.assert_allclose(np.asarray(out), dense @ x, rtol=2e-4, atol=2e-4)
-    # the public dispatch reaches the same path
-    out2 = spmm(adj, jnp.asarray(x), backend="pallas")
-    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=1e-6)
+    # retired from the public dispatch (measured-out, docs/PERF.md r5):
+    # the backend string now refuses with a pointer to the direct import
+    with pytest.raises(ValueError, match="retired"):
+        spmm(adj, jnp.asarray(x), backend="pallas")
 
 
 def test_spmm_pallas_grads_match_segment_backend(rng):

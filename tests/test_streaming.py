@@ -273,3 +273,24 @@ def test_rank_segment_backend_matches_scatter():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
         )
+
+
+@pytest.mark.slow
+def test_dist_edge_stream_rank_backend_on_mesh(rng):
+    """DistEdgeStream engages the rank-compact segment sum when the chunk
+    size tiles RANK_CK — parity vs the dense oracle on the 8-mesh."""
+    from gnn_tpu.graphs.streaming import DistEdgeStream
+    from gnn_tpu.parallel import make_mesh
+
+    mesh = make_mesh(axes=("data",))
+    P = mesh.shape["data"]
+    n, e = 400, 9000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = rng.random(e).astype(np.float32)
+    x_host = rng.normal(size=(n, 12)).astype(np.float32)
+    dst = DistEdgeStream(ei, w, num_nodes=n, num_parts=P, chunk_edges=512)
+    assert dst.rank_h > 0  # the rank path is actually engaged
+    out = np.asarray(dst.spmm_host(x_host, mesh))
+    np.testing.assert_allclose(
+        out, dense_oracle(ei, w, n, x_host), rtol=1e-4, atol=1e-4
+    )
