@@ -184,9 +184,12 @@ class Adjacency(Module):
             inv_ext = jnp.concatenate(
                 [inv.astype(jnp.int32), jnp.asarray([self.num_edges], jnp.int32)]
             )
+            from gnn_tpu.ops.edge_agg import remap_weighted_agg
+
             return lay.replace(
                 diag_eid=inv_ext[lay.diag_eid],
                 rem_eid=inv_ext[lay.rem_eid],
+                rem_bucket=remap_weighted_agg(lay.rem_bucket, inv_ext),
                 levels=tuple(
                     l.replace(eid=inv_ext[l.eid]) for l in lay.levels
                 ),

@@ -95,7 +95,11 @@ class BlockedLayout(Module):
     rem_eid: jax.Array  # [E_r] int32 canonical edge ids
     rem_plan: object  # ops.pallas.segment.ChunkPlan over rem_dst (fallback
     # path for remainders whose within-window degrees are not sorted)
-    # Leveled-ELL remainder (the fast path; see module docstring):
+    # Degree-bucketed static-weight remainder (round 5; see
+    # ops/edge_agg.py WeightedAggLayout): slots gather x directly at the
+    # node-table rate — no [E_r, F] message array, no one-hot MACs.
+    rem_bucket: object = None
+    # Leveled-ELL remainder (see module docstring):
     levels: Tuple[RemLevel, ...] = ()
     tail_col: Optional[jax.Array] = None  # [T, Kt] spill pieces
     tail_w: Optional[jax.Array] = None
@@ -442,9 +446,12 @@ def build_blocked(
 ) -> BlockedLayout:
     """Build from PACKED-id edges in dst-sorted order. ``edge_ids`` are the
     canonical (adjacency-order) edge ids of each input edge; ``edge_weight``
-    is indexed by canonical id. ``rem_backend``: 'auto' picks the cheaper
-    remainder path by measured cost model, 'levels'/'kernel' force one."""
-    if rem_backend not in ("auto", "levels", "kernel"):
+    is indexed by canonical id. ``rem_backend``: 'auto' picks the cheapest
+    remainder path by measured cost model; 'bucket'/'levels'/'kernel'
+    force one (bucket = degree-bucketed direct slot tables, the round-5
+    default winner on power-law remainders — measured A/B in
+    docs/PERF.md)."""
+    if rem_backend not in ("auto", "bucket", "levels", "kernel"):
         raise ValueError(f"unknown rem_backend '{rem_backend}'")
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -468,27 +475,55 @@ def build_blocked(
     rem_eid, rem_w = eid[keep], w[keep]
 
     built = None
-    if rem_backend != "kernel":
+    if rem_backend in ("auto", "levels"):
         built = _build_rem_levels(
             rem_src, rem_dst, rem_eid, rem_w, num_nodes, num_edges, R, B
         )
-    if built is not None and rem_backend == "auto":
-        # Measured-cost chooser (ns, this chip): strips gather ~2.6/slot,
-        # a prefix add ~130k ns, a tail piece ~66 (scatter + its slots);
-        # the one-hot kernel lands ~6.5/edge end to end. Poisson-ish
-        # remainders (real community graphs) pick the strips; heavy
-        # power-law remainders pick the kernel.
-        levels, tail = built
-        n_pieces = 0 if tail[0] is None else int(tail[0].shape[0])
-        lvl_slots = sum(int(np.prod(l.col.shape)) for l in levels)
-        lvl_cost = lvl_slots * 2.6 + len(levels) * 130_000 + n_pieces * 66
-        if lvl_cost >= len(rem_src) * 6.5:
-            built = None
+    # Measured-cost chooser (ns, this chip): slot/strip gathers ~2.6 each,
+    # a prefix add ~130k, a tail piece ~66, the one-hot kernel ~6.5/edge;
+    # the bucket backend adds one [N]-row combine gather (~2.6/row). The
+    # bucket slot count is predictable from the remainder degree
+    # histogram (fixed width set, +~4% padding on power-law remainders),
+    # so it can be costed WITHOUT building.
+    choice = rem_backend
+    if rem_backend == "auto":
+        deg_r = np.bincount(rem_dst, minlength=num_nodes) if len(rem_dst) else np.zeros(1, np.int64)
+        widths_b = np.asarray(sorted({*range(1, 17), *(8 * m for m in range(3, 65))}), np.int64)
+        rem_mod = deg_r % 512
+        nz = rem_mod[rem_mod > 0]
+        bucket_slots = int(
+            widths_b[np.minimum(np.searchsorted(widths_b, nz), len(widths_b) - 1)].sum()
+            + (deg_r // 512).sum() * 512
+        )
+        costs = {
+            "kernel": len(rem_src) * 6.5,
+            "bucket": bucket_slots * 2.6 + num_nodes * 2.6,
+        }
+        if built is not None:
+            levels_, tail_ = built
+            n_pieces = 0 if tail_[0] is None else int(tail_[0].shape[0])
+            lvl_slots = sum(int(np.prod(l.col.shape)) for l in levels_)
+            costs["levels"] = (
+                lvl_slots * 2.6 + len(levels_) * 130_000 + n_pieces * 66
+            )
+        choice = min(costs, key=costs.get)
     rem_plan = None
+    rem_bucket = None
+    use_levels = False
     levels, tail = (), (None, None, None, None)
-    if built is not None:
-        levels, tail = built
-    else:
+    if choice == "levels":
+        if built is not None:
+            levels, tail = built
+            use_levels = True  # may be tail-only (empty strip list)
+        else:
+            choice = "kernel"  # unsorted remainder: no prefix structure
+    if choice == "bucket":
+        from gnn_tpu.ops.edge_agg import build_weighted_agg
+
+        rem_bucket = build_weighted_agg(
+            rem_dst, rem_src, rem_eid, rem_w, num_nodes, num_edges
+        )
+    elif choice == "kernel":
         from gnn_tpu.ops.pallas.segment import build_chunk_plan
 
         rem_plan = build_chunk_plan(rem_dst, num_nodes)
@@ -505,12 +540,13 @@ def build_blocked(
         rem_w=None if edge_weight is None else jnp.asarray(rem_w),
         rem_eid=jnp.asarray(rem_eid.astype(np.int32)),
         rem_plan=rem_plan,
+        rem_bucket=rem_bucket,
         levels=levels,
         tail_col=tail[0],
         tail_w=tail[1],
         tail_eid=tail[2],
         tail_node=tail[3],
-        use_levels=built is not None,
+        use_levels=use_levels,
         num_nodes=int(num_nodes),
         rows=R,
     )
@@ -530,12 +566,19 @@ def refresh_blocked_weights(
     B, R, _ = lay.diag.shape
     D = jnp.zeros((B * R * R,), jnp.float32)
     D = D.at[lay.diag_pos].add(jnp.take(w_ext, lay.diag_eid))
+    from gnn_tpu.ops.edge_agg import refresh_weighted_agg
+
     return lay.replace(
         diag=D.reshape(B, R, R).astype(lay.diag.dtype),
         rem_w=(
             None
             if weight is None and lay.rem_w is None
             else jnp.take(w_ext, lay.rem_eid)
+        ),
+        rem_bucket=(
+            None
+            if lay.rem_bucket is None
+            else refresh_weighted_agg(lay.rem_bucket, w_ext)
         ),
         levels=tuple(
             l.replace(w=jnp.take(w_ext, l.eid)) for l in lay.levels
@@ -569,6 +612,15 @@ def blocked_matvec(lay: BlockedLayout, x: jax.Array) -> jax.Array:
     out3 = jnp.einsum(
         "brw,bwf->brf", lay.diag, xw, preferred_element_type=jnp.float32
     )
+    if lay.rem_bucket is not None:
+        # round-5 default on power-law remainders: degree-bucketed slot
+        # tables gather x DIRECTLY at the node-table rate (ops/edge_agg.py)
+        from gnn_tpu.ops.edge_agg import weighted_agg_matvec
+
+        out = out3.reshape(B * R, F)[:N].astype(x.dtype)
+        if lay.num_rem_edges:
+            out = out + weighted_agg_matvec(x, lay.rem_bucket)
+        return out
     if lay.use_levels:
         for lev in lay.levels:
             part = _unrolled(x, lev.col, lev.w)  # [B*t, F] f32

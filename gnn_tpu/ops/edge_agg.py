@@ -60,6 +60,12 @@ __all__ = [
     "build_edge_agg",
     "edge_aggregate",
     "edge_aggregate_max",
+    "WeightedAggLayout",
+    "WAggBucket",
+    "build_weighted_agg",
+    "weighted_agg_matvec",
+    "refresh_weighted_agg",
+    "remap_weighted_agg",
 ]
 
 NARROW_MAX = 16
@@ -256,6 +262,226 @@ def edge_aggregate(msg: jax.Array, lay: EdgeAggLayout) -> jax.Array:
 
     agg.defvjp(fwd, bwd)
     return agg(msg)
+
+
+class WAggBucket(Module):
+    """One fixed-width bucket of the STATIC-WEIGHT variant: per slot a
+    source COLUMN into x, a baked weight, and the canonical edge id (for
+    weight re-baking; num_edges = padding)."""
+
+    col: jax.Array  # [Nb, K] int32 source ids (padding: 0, weight 0)
+    w: jax.Array  # [Nb, K] f32
+    eid: jax.Array  # [Nb, K] int32
+    k: int = static_field(default=1)
+
+
+class WeightedAggLayout(Module):
+    """Static-weight bucketed aggregation WITHOUT node renumbering: the
+    sorted-ELL recipe (degree buckets, unrolled flat gathers, width-8
+    wide streams, hub tail) in an internal degree-sorted row order, mapped
+    back to the caller's node order by one [N]-row combine gather.
+
+    Built for the blocked layout's inter-window remainder (graphs/
+    blocked.py rem_backend='bucket'): slots gather x DIRECTLY at the
+    small-node-table rate (~2.2 ns/row at F=128) instead of routing an
+    [E_r, F] message array through the one-hot kernel (~5.3 ns/edge) —
+    and the window order is fixed by the packing, so the sorted-ELL
+    renumbering trick is unavailable and the combine gather (~0.4 ms at
+    arxiv scale) is the price of bucket contiguity."""
+
+    narrow: Tuple[WAggBucket, ...]
+    stream_col: jax.Array  # [Q, SUB]
+    stream_w: jax.Array
+    stream_eid: jax.Array
+    tail_row: jax.Array  # [T] internal rows receiving hub-piece adds
+    inv_row: jax.Array  # [N] node id -> internal row (combine gather)
+    wide_slices: tuple = static_field(default=())
+    tail_off: int = static_field(default=0)
+    tail_m: int = static_field(default=0)
+    n_zero: int = static_field(default=0)
+    num_nodes: int = static_field(default=0)
+    num_edges: int = static_field(default=0)
+
+    @property
+    def num_slots(self) -> int:
+        s = sum(int(np.prod(b.col.shape)) for b in self.narrow)
+        return s + int(np.prod(self.stream_col.shape))
+
+
+def build_weighted_agg(
+    dst_sorted: np.ndarray,
+    src: np.ndarray,
+    edge_ids: np.ndarray,
+    weight: Optional[np.ndarray],
+    num_nodes: int,
+    num_edges: int,
+    *,
+    kmax: int = KMAX,
+) -> WeightedAggLayout:
+    """Host-side build. ``dst_sorted`` ascending destination per edge;
+    ``src``/``edge_ids`` aligned; ``weight`` indexed by edge POSITION
+    (None = ones). ``num_edges`` is the canonical edge count for the eid
+    padding sentinel."""
+    dst = np.asarray(dst_sorted, np.int64)
+    src = np.asarray(src, np.int64)
+    eid = np.asarray(edge_ids, np.int64)
+    w = (
+        np.ones(len(dst), np.float32)
+        if weight is None
+        else np.asarray(weight, np.float32)
+    )
+    deg = np.bincount(dst, minlength=num_nodes)
+    rp = np.concatenate([[0], np.cumsum(deg)])
+    kmax = _effective_kmax(deg, kmax)
+    widths = _widths(kmax)
+    widths = widths[widths <= kmax]
+    rem = deg % kmax
+    full = deg // kmax
+    bidx = _bucket_key(deg, kmax)
+    order = np.argsort(bidx, kind="stable")
+    inv_row = np.empty(num_nodes, np.int64)
+    inv_row[order] = np.arange(num_nodes)
+    n_zero = int((bidx == -1).sum())
+
+    def fill(sel: np.ndarray, K: int):
+        nb = len(sel)
+        colb = np.zeros((nb, K), np.int64)
+        wb = np.zeros((nb, K), np.float32)
+        eb = np.full((nb, K), num_edges, np.int64)
+        counts = rem[sel]
+        tot = int(counts.sum())
+        a = np.arange(tot)
+        off = a - np.repeat(np.cumsum(counts) - counts, counts)
+        rows = np.repeat(np.arange(nb), counts)
+        flat = np.repeat(rp[sel] + full[sel] * kmax, counts) + off
+        colb[rows, off] = src[flat]
+        wb[rows, off] = w[flat]
+        eb[rows, off] = eid[flat]
+        return colb, wb, eb
+
+    narrow = []
+    wide_cols, wide_ws, wide_es, wide_meta = [], [], [], []
+    row_off = n_zero
+    sub_off = 0
+    for bi, K in enumerate(widths):
+        sel = np.nonzero(bidx == bi)[0]
+        if len(sel) == 0:
+            continue
+        colb, wb, eb = fill(sel, int(K))
+        if K <= NARROW_MAX:
+            narrow.append(
+                WAggBucket(
+                    col=jnp.asarray(colb.astype(np.int32)),
+                    w=jnp.asarray(wb),
+                    eid=jnp.asarray(eb.astype(np.int32)),
+                    k=int(K),
+                )
+            )
+        else:
+            m = int(K) // SUB
+            wide_cols.append(colb.reshape(-1, SUB))
+            wide_ws.append(wb.reshape(-1, SUB))
+            wide_es.append(eb.reshape(-1, SUB))
+            wide_meta.append((row_off, sub_off, m, len(sel)))
+            sub_off += len(sel) * m
+        row_off += len(sel)
+    assert row_off == num_nodes
+
+    hubs = np.nonzero(full > 0)[0]
+    T = int(full.sum())
+    tail_row = inv_row[np.repeat(hubs, full[hubs])]
+    if T:
+        starts = (
+            np.repeat(rp[hubs], full[hubs])
+            + (
+                np.arange(T)
+                - np.repeat(np.cumsum(full[hubs]) - full[hubs], full[hubs])
+            )
+            * kmax
+        )
+        tidx = starts[:, None] + np.arange(kmax)[None, :]
+        wide_cols.append(src[tidx].reshape(-1, SUB))
+        wide_ws.append(w[tidx].reshape(-1, SUB))
+        wide_es.append(eid[tidx].reshape(-1, SUB))
+    if wide_cols:
+        stream_col = np.concatenate(wide_cols, axis=0)
+        stream_w = np.concatenate(wide_ws, axis=0)
+        stream_eid = np.concatenate(wide_es, axis=0)
+    else:
+        stream_col = np.zeros((0, SUB), np.int64)
+        stream_w = np.zeros((0, SUB), np.float32)
+        stream_eid = np.zeros((0, SUB), np.int64)
+    return WeightedAggLayout(
+        narrow=tuple(narrow),
+        stream_col=jnp.asarray(stream_col.astype(np.int32)),
+        stream_w=jnp.asarray(stream_w),
+        stream_eid=jnp.asarray(stream_eid.astype(np.int32)),
+        tail_row=jnp.asarray(tail_row.astype(np.int32)),
+        inv_row=jnp.asarray(inv_row.astype(np.int32)),
+        wide_slices=tuple(wide_meta),
+        tail_off=int(sub_off),
+        tail_m=kmax // SUB,
+        n_zero=n_zero,
+        num_nodes=int(num_nodes),
+        num_edges=int(num_edges),
+    )
+
+
+def _gather_wsum(x: jax.Array, col2d: jax.Array, w2d: jax.Array) -> jax.Array:
+    acc = w2d[:, 0, None] * jnp.take(x, col2d[:, 0], axis=0)
+    for k in range(1, col2d.shape[1]):
+        acc = acc + w2d[:, k, None] * jnp.take(x, col2d[:, k], axis=0)
+    return acc
+
+
+def weighted_agg_matvec(x: jax.Array, lay: WeightedAggLayout) -> jax.Array:
+    """out[n] = sum over n's slots of w_slot * x[col_slot], in the
+    caller's node order (one combine gather). Forward-only — backward is
+    the caller's transpose layout (graphs/blocked.py convention)."""
+    F = x.shape[1]
+    parts = [jnp.zeros((lay.n_zero, F), jnp.float32)]
+    for b in lay.narrow:
+        parts.append(_gather_wsum(x, b.col, b.w))
+    sliced = []
+    if int(lay.stream_col.shape[0]):
+        sub = _gather_wsum(x, lay.stream_col, lay.stream_w)
+        for ro, so, m, nb in lay.wide_slices:
+            sliced.append(
+                jnp.sum(sub[so : so + nb * m].reshape(nb, m, F), axis=1)
+            )
+    rows = jnp.concatenate(parts + sliced, axis=0)
+    T = int(lay.tail_row.shape[0])
+    if T:
+        tails = jnp.sum(
+            sub[lay.tail_off : lay.tail_off + T * lay.tail_m].reshape(
+                T, lay.tail_m, F
+            ),
+            axis=1,
+        )
+        rows = rows.at[lay.tail_row].add(tails)
+    return jnp.take(rows, lay.inv_row, axis=0).astype(x.dtype)
+
+
+def refresh_weighted_agg(
+    lay: WeightedAggLayout, w_ext: jax.Array
+) -> WeightedAggLayout:
+    """Re-bake slot weights from an extended weight vector (w_ext[E] + a
+    trailing 0 for the padding sentinel)."""
+    return lay.replace(
+        narrow=tuple(b.replace(w=jnp.take(w_ext, b.eid)) for b in lay.narrow),
+        stream_w=jnp.take(w_ext, lay.stream_eid),
+    )
+
+
+def remap_weighted_agg(lay, inv_ext: jax.Array):
+    """Remap canonical edge ids through a transpose permutation (see
+    Adjacency.transpose)."""
+    if lay is None:
+        return None
+    return lay.replace(
+        narrow=tuple(b.replace(eid=inv_ext[b.eid]) for b in lay.narrow),
+        stream_eid=inv_ext[lay.stream_eid],
+    )
 
 
 def _gather_max(mp: jax.Array, slot2d: jax.Array) -> jax.Array:

@@ -323,3 +323,37 @@ def test_blocked_directed_falls_back_to_kernel_path():
     np.testing.assert_allclose(
         np.asarray(g), 2 * A.T @ (A @ x), rtol=2e-4, atol=2e-5
     )
+
+
+def test_blocked_bucket_remainder_matches_dense_and_grads():
+    """rem_backend='bucket' (round 5: degree-bucketed direct slot tables,
+    ops/edge_agg.py) — dense-oracle parity, grads, transpose, weight swap."""
+    rng = np.random.default_rng(11)
+    n, e = 900, 9000
+    ei, _ = _clustered_graph(N=n, k=18, seed=4)
+    ei, w = graphs.gcn_norm(ei, num_nodes=n, self_loops=True)
+    adj = graphs.build_adjacency(
+        ei, jnp.asarray(w), num_nodes=n,
+        reorder="cluster", block_rows=64, rem_backend="bucket",
+    )
+    assert adj.blocked.rem_bucket is not None
+    assert not adj.blocked.use_levels and adj.blocked.rem_plan is None
+    E = ei.shape[1]
+    x = jnp.asarray(rng.normal(size=(n, 12)).astype(np.float32))
+    perm = np.asarray(adj.perm)
+    dense = np.zeros((n, n), np.float32)
+    old2new = np.empty(n, np.int64)
+    old2new[perm] = np.arange(n)
+    np.add.at(
+        dense, (old2new[np.asarray(ei[1])], old2new[np.asarray(ei[0])]), w
+    )
+    out = np.asarray(spmm(adj, x))
+    np.testing.assert_allclose(out, dense @ np.asarray(x), atol=2e-4)
+    # backward dx through the transpose layout
+    g = jax.grad(lambda x: 0.5 * jnp.sum(spmm(adj, x) ** 2))(x)
+    want = dense.T @ (dense @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=2e-3, atol=2e-3)
+    # weight swap re-bakes bucket slot weights (canonical edge order)
+    adj2 = adj.with_weight(adj.weight * 2.0)
+    out2 = np.asarray(spmm(adj2, x))
+    np.testing.assert_allclose(out2, 2.0 * out, rtol=1e-5, atol=1e-5)
