@@ -35,11 +35,15 @@ throughput ~5x. The small normalization cost is calibrated and subtracted.
   share state); to keep the denominator honest the calibration runs THREE
   times, interleaved with the measured workloads, and the MEDIAN ns/row is
   used and recorded in the JSON (``gather_ns_per_row``) for auditability.
-* ``blocked_vs_gather_sol`` carries extra cross-session spread (measured
-  1.07-1.32 for identical code/layout; the MXU-path rate itself moves
-  between chip sessions while the gather calibration stays flat — see
-  docs/PERF.md round 4). Sum-of-parts at this chip's skinny-N matmul rate
-  predicts ~1.07; favorable sessions print up to ~1.3.
+* ``blocked_vs_gather_sol``: with the round-5 bucket remainder
+  (graphs/blocked.py rem_backend='bucket') the secondary reproduces —
+  313.2 / 313.7 M edges/s in two same-day sessions (0.2% on edges/s;
+  1.335 / 1.300 on the SOL fraction, the delta being the calibration
+  itself). ``blocked_vs_shape_roof`` reports the step against both
+  passes of the in-run-measured dense-einsum probe + the remainder at
+  gather SOL — an auditably-ideal floor (~0.34-0.39 achieved), measured
+  INTERLEAVED rep-for-rep with the step so numerator and denominator
+  share session weather (VERDICT r4 #2).
 """
 
 from __future__ import annotations
